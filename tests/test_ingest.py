@@ -1,0 +1,163 @@
+"""Ingest: DICOM parsing, series folding, ZIP path, HDR decoding."""
+
+import numpy as np
+import pytest
+
+from volxel_tpu.ingest import (
+    parse_dicom,
+    read_dicom_series,
+    read_dicoms_to_grid,
+    read_zip_series,
+)
+from volxel_tpu.ingest.dicom import DicomError
+from volxel_tpu.ingest.hdr import decode_hdr, encode_hdr, EnvDecodeError
+from volxel_tpu.ingest.ziploader import ZipIngestError, read_zip_to_grid
+from volxel_tpu.utils.fixtures import (
+    synthetic_ct_volume,
+    synthetic_env_hdr,
+    write_dicom_series,
+    write_dicom_slice,
+    write_dicom_zip,
+)
+
+
+@pytest.fixture(scope="module")
+def volume():
+    return synthetic_ct_volume((12, 24, 16), bits_stored=12)
+
+
+def test_parse_single_slice(volume):
+    blob = write_dicom_slice(volume[0], pixel_spacing=(0.7, 0.8), slice_thickness=2.5)
+    f = parse_dicom(blob)
+    assert not f.is_dicomdir
+    px = f.pixel_array()
+    assert px.shape == (1, 24, 16)
+    np.testing.assert_array_equal(px[0], volume[0])
+    assert f.pixel_spacing() == (0.7, 0.8)
+    assert f.slice_thickness() == 2.5
+    assert f.bits_stored == 16
+
+
+def test_slice_thickness_defaults_to_min_spacing(volume):
+    blob = write_dicom_slice(volume[0], pixel_spacing=(0.7, 0.5), slice_thickness=None)
+    f = parse_dicom(blob)
+    assert f.slice_thickness() == 0.5
+
+
+def test_series_fold(volume):
+    blobs = write_dicom_series(
+        volume, pixel_spacing=(0.5, 0.5), slice_thickness=1.5, bits_stored=12
+    )
+    series = read_dicom_series(blobs)
+    assert series.data.shape == volume.shape
+    np.testing.assert_array_equal(series.data, volume)
+    assert series.min == int(volume.min())
+    assert series.max == int(volume.max())
+    # histogram: 2^bits_stored bins summed over all slices
+    assert len(series.histogram) == 1 << 12
+    assert series.histogram.sum() == volume.size
+    counts = np.bincount(volume.ravel(), minlength=1 << 12)
+    np.testing.assert_array_equal(series.histogram, counts)
+    # transform = scale(sx, sy, thickness)
+    np.testing.assert_allclose(np.diag(series.transform), [0.5, 0.5, 1.5, 1.0])
+
+
+def test_normalization(volume):
+    blobs = write_dicom_series(volume, bits_stored=12)
+    series = read_dicom_series(blobs)
+    norm = series.normalized()
+    assert norm.dtype == np.float32
+    assert norm.max() == pytest.approx(1.0)
+    np.testing.assert_allclose(
+        norm, volume.astype(np.float32) / volume.max(), rtol=1e-6
+    )
+
+
+def test_histogram_gradient(volume):
+    blobs = write_dicom_series(volume, bits_stored=12)
+    series = read_dicom_series(blobs)
+    grad, gmin, gmax = series.histogram_gradient()
+    h = series.histogram.astype(np.int64)
+    # reference semantics (dicom.rs:39-66)
+    raw = np.empty_like(h)
+    raw[0] = h[0]
+    raw[1:] = h[1:] - h[:-1]
+    assert gmin == int(np.abs(raw).min())
+    assert gmax == int(np.abs(raw).max())
+    assert grad[0] == raw[0] and grad[-1] == raw[-1]
+    i = len(h) // 2
+    expect = int(raw[i - 1] + raw[i] + raw[i + 1])
+    trunc = int(np.sign(expect) * (abs(expect) // 3))
+    assert grad[i] == trunc
+
+
+def test_series_to_grid(volume):
+    blobs = write_dicom_series(volume, bits_stored=12)
+    grid = read_dicoms_to_grid(blobs)
+    assert grid.min_maj == (0.0, 1.0)
+    # brick counts align up to 8 bricks/axis -> minimum extent 64 (brick.rs:77)
+    assert grid.index_extent == (64, 64, 64)
+    assert grid.histogram.sum() == volume.size
+    # center voxel decodes close to its normalized source value
+    z, y, x = (s // 2 for s in volume.shape)
+    got = grid.lookup((x, y, z))
+    want = volume[z, y, x] / volume.max()
+    assert abs(got - want) < 0.02
+
+
+def test_zip_roundtrip(volume):
+    blob = write_dicom_zip(volume, pixel_spacing=(0.5, 0.5), slice_thickness=1.5)
+    series = read_zip_series(blob)
+    np.testing.assert_array_equal(series.data, volume)
+    grid = read_zip_to_grid(blob)
+    assert grid.brick_counter > 0
+
+
+def test_zip_multiple_folders_rejected(volume):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    blob = write_dicom_slice(volume[0])
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a/one.dcm", blob)
+        zf.writestr("b/two.dcm", blob)
+    with pytest.raises(ZipIngestError):
+        read_zip_series(buf.getvalue())
+
+
+def test_bad_zip_rejected():
+    with pytest.raises(ZipIngestError):
+        read_zip_series(b"definitely not a zip")
+
+
+def test_no_data_rejected():
+    with pytest.raises(DicomError):
+        read_dicom_series([])
+
+
+def test_truncated_dicom_rejected():
+    with pytest.raises((DicomError, Exception)):
+        parse_dicom(b"\x00" * 10)
+
+
+def test_hdr_roundtrip():
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(0, 1, (16, 32, 3)) ** 2 * 20).astype(np.float32)
+    decoded = decode_hdr(encode_hdr(img))
+    assert decoded.shape == (16, 32, 4)
+    np.testing.assert_allclose(decoded[..., 3], 1.0)
+    # RGBE is ~1% precision with shared exponent
+    scale = np.maximum(img.max(axis=-1, keepdims=True), 1e-6)
+    np.testing.assert_allclose(decoded[..., :3] / scale, img / scale, atol=0.02)
+
+
+def test_hdr_fixture_decodes():
+    env = decode_hdr(synthetic_env_hdr(64, 32))
+    assert env.shape == (32, 64, 4)
+    assert env[..., :3].max() > 10  # sun patch is bright
+
+
+def test_hdr_bad_magic():
+    with pytest.raises(EnvDecodeError):
+        decode_hdr(b"not an hdr file")
