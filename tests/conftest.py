@@ -2,14 +2,25 @@
 
 This is the standard JAX way to exercise multi-chip sharding logic without
 real hardware (the driver separately dry-runs the multi-chip path).
-Must run before the first `import jax` anywhere in the test session.
+
+Note: this environment's sitecustomize registers a TPU ('axon') backend at
+interpreter start and latches JAX_PLATFORMS before conftest runs, so the
+env var alone is NOT enough — jax.config must be updated explicitly.
+XLA_FLAGS is still read lazily when the CPU client is first created.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"

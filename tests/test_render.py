@@ -1,0 +1,173 @@
+"""Render core: mode agreement, accumulation, debug modes, exactness checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from volxel_tpu import Renderer
+from volxel_tpu.grid import construct_brick_grid
+from volxel_tpu.render.pathtrace import tonemap
+from volxel_tpu.scene.environment import lookup_environment
+from volxel_tpu.utils.fixtures import synthetic_ct_volume
+
+
+@pytest.fixture(scope="module")
+def grid():
+    vol = synthetic_ct_volume((32, 32, 32), bits_stored=12)
+    return construct_brick_grid(
+        vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
+    )
+
+
+def _renderer(grid, size=48, **settings):
+    r = Renderer(width=size, height=size)
+    r.restart_from_grid(grid)
+    r.camera.rotate_around_view(0.5, 0.3)
+    r.camera.zoom(2.0)
+    for k, v in settings.items():
+        setattr(r.settings, k, v)
+    return r
+
+
+def test_modes_converge_to_same_image(grid):
+    """The three traversal estimators compute the same integral
+    (sampling.glsl dispatch; cross-check per SURVEY §4.3)."""
+    images = {}
+    for mode in ("default", "no_dda", "raymarch"):
+        r = _renderer(grid, size=24, bounces=2)
+        r.render_mode = mode
+        for _ in range(72):
+            r.render_frame()
+        images[mode] = r.raw_image()
+    base = images["default"]
+    scale = np.abs(base).mean() + 1e-6
+    for mode in ("no_dda", "raymarch"):
+        diff = np.abs(images[mode] - base).mean() / scale
+        assert diff < 0.12, f"{mode} differs from default by {diff:.3f}"
+
+
+def test_empty_volume_equals_environment(grid):
+    """Zero-alpha transfer -> every ray escapes -> image == env lookup."""
+    r = _renderer(grid, size=24)
+    r.set_transfer_colors([{"color": [1, 1, 1, 0.0], "stop": 0.0}])
+    r.render_frame()
+    sample = np.asarray(r._framebuffer).reshape(24, 24, 3)
+
+    # expected: pure environment radiance along the (jittered) camera rays;
+    # compare against center-pixel unjittered lookup with loose tolerance
+    from volxel_tpu.render.rays import camera_rays, pixel_ndc
+
+    inv_view = jnp.asarray(np.linalg.inv(r.camera.view_matrix()))
+    inv_proj = jnp.asarray(np.linalg.inv(r.camera.proj_matrix(1.0)))
+    ndc = pixel_ndc(24, 24, jnp.full((24 * 24, 2), 0.5, jnp.float32))
+    rays = camera_rays(inv_view, inv_proj, ndc)
+    expect = np.asarray(lookup_environment(r.environment.state, rays.direction))
+    expect = expect.reshape(24, 24, 3)
+    np.testing.assert_allclose(sample, expect, atol=0.35, rtol=0.2)
+
+
+def test_opaque_volume_blocks_environment(grid):
+    """Fully opaque volume: center pixel radiance differs from background."""
+    r = _renderer(grid, size=24, bounces=1)
+    r.set_transfer_colors([{"color": [0.0, 0.0, 0.0, 1.0], "stop": 0.0}])
+    r.render_frame()
+    img = np.asarray(r._framebuffer).reshape(24, 24, 3)
+    center = img[12, 12]
+    # black albedo-ish volume with 1 bounce: radiance should be small
+    assert center.max() < 1.0
+
+
+def test_accumulation_warmup_semantics(grid):
+    """Samples 0..4 overwrite (weight 0); sample 5+ average (viewer.ts:1356)."""
+    r = _renderer(grid, size=16)
+    assert r.sample_weight() == 0.0
+    fb_prev = None
+    for i in range(5):
+        assert r.sample_weight() == 0.0
+        fb = np.asarray(r.render_frame())
+        fb_prev = fb
+    # frame 5: weight 0 -> buffer = new sample entirely
+    assert r.sample_weight() == 0.0
+    fb5 = np.asarray(r.render_frame())
+    # frame 6: weight 1/2
+    assert r.sample_weight() == pytest.approx(0.5)
+    fb6 = np.asarray(r.render_frame())
+    assert not np.allclose(fb6, fb5)
+
+
+def test_debug_hits_coordinates(grid):
+    r = _renderer(grid, size=32, debug_hits=True)
+    r.render_frame()
+    img = r.raw_image()
+    # hit pixels encode [0,1] AABB coordinates; background is checkerboard gray
+    assert img.min() >= -1e-5  # float32 rounding at AABB faces
+    assert img.max() <= 1.01
+    center = img[16, 16]
+    assert (center >= -1e-5).all() and (center <= 1 + 1e-5).all()
+    assert img.std() > 0.01  # actually shows structure
+
+
+def test_render_modes_property(grid):
+    r = _renderer(grid, size=16)
+    with pytest.raises(ValueError):
+        r.render_mode = "fancy"
+    r.render_mode = "raymarch"
+    assert r.render_mode == "raymarch"
+    assert r.frame_index == 0  # restart on change
+
+
+def test_settings_roundtrip(grid):
+    r = _renderer(grid, size=16)
+    r.settings.bounces = 2
+    r.settings.exposure = 3.3
+    r.camera.rotate_around_view(0.2, 0.1)
+    export = r.export_settings()
+
+    r2 = _renderer(grid, size=16)
+    r2.restore_settings(export)
+    assert r2.settings.bounces == 2
+    assert r2.settings.exposure == 3.3
+    np.testing.assert_allclose(r2.camera.pos, r.camera.pos, atol=1e-6)
+    export2 = r2.export_settings()
+    assert export2["display"] == export["display"]
+    assert export2["other"]["cameraPos"] == pytest.approx(export["other"]["cameraPos"])
+
+
+def test_reference_benchmark_settings_render(grid):
+    """The reference repo's real benchmark settings drive a render."""
+    import json
+
+    with open("/root/reference/public/benchmark.json") as f:
+        bench = json.load(f)
+    r = _renderer(grid, size=16)
+    r.restore_settings(bench["sharedSettings"][0])
+    assert r.settings.bounces == 1
+    assert r.settings.max_samples == 500
+    r.settings.resolution_factor = 1.0  # keep the tiny test viewport
+    img = None
+    for _ in range(3):
+        img = r.render_frame()
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_tonemap_hable():
+    img = jnp.asarray([[0.0, 0.5, 2.0]], jnp.float32)
+    out = np.asarray(tonemap(img, jnp.float32(1.0), jnp.float32(2.2)))
+    assert out.shape == (1, 3)
+    # black maps to ~0 up to float32 cancellation in hable (the GL shader
+    # has the same residual: E/F computed twice in different orders)
+    assert out[0, 0] == pytest.approx(0.0, abs=5e-3)
+    assert 0 < out[0, 1] < out[0, 2] <= 1.0
+
+
+def test_clip_box_limits_extent(grid):
+    """Clipping the volume to a thin slab shrinks the hit region."""
+    r = _renderer(grid, size=32, debug_hits=True)
+    r.render_frame()
+    full = r.raw_image()
+    r.settings.volume_clip_min = [0.45, 0.0, 0.0]
+    r.settings.volume_clip_max = [0.55, 1.0, 1.0]
+    r.restart_rendering()
+    r.render_frame()
+    clipped = r.raw_image()
+    assert not np.allclose(full, clipped)

@@ -1,0 +1,127 @@
+"""Scene: camera math, volume transforms, environment sampling."""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from volxel_tpu.render.rays import camera_rays
+from volxel_tpu.scene.camera import Camera
+from volxel_tpu.scene.environment import (
+    Environment,
+    build_env_state,
+    default_environment,
+)
+from volxel_tpu.scene.environment import lookup_environment as _lookup_env
+from volxel_tpu.scene.environment import pdf_environment as _pdf_env
+from volxel_tpu.scene.environment import sample_environment as _sample_env
+
+# these run inside jitted render functions in production; jit here too
+lookup_environment = jax.jit(_lookup_env)
+pdf_environment = jax.jit(_pdf_env)
+sample_environment = jax.jit(_sample_env)
+from volxel_tpu.scene.volume import Volume
+from volxel_tpu.utils.mathutil import scale_matrix
+
+
+def test_camera_center_ray_points_at_view():
+    cam = Camera(1.0)
+    cam.rotate_around_view(0.5, 0.3)
+    cam.zoom(2.0)
+    inv_view = jnp.asarray(np.linalg.inv(cam.view_matrix()))
+    inv_proj = jnp.asarray(np.linalg.inv(cam.proj_matrix(1.0)))
+    rays = camera_rays(inv_view, inv_proj, jnp.asarray([[0.5, 0.5]]))
+    expect = (cam.view - cam.pos) / np.linalg.norm(cam.view - cam.pos)
+    np.testing.assert_allclose(np.asarray(rays.direction[0]), expect, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rays.origin[0]), cam.pos, atol=1e-5)
+
+
+def test_camera_zoom_clamps():
+    cam = Camera(1.0)
+    assert not cam.zoom(0.05)  # would go below 0.1
+    assert not cam.zoom(15.0)  # would exceed 10
+    assert cam.zoom(2.0)
+    assert np.linalg.norm(cam.pos - cam.view) == pytest.approx(2.0)
+
+
+def test_camera_pitch_clamped():
+    cam = Camera(1.0)
+    cam.rotate_around_view(0.0, 10.0)
+    assert cam.pitch == pytest.approx(np.pi / 2 - 0.01)
+
+
+def test_volume_unit_cube_rescale():
+    # 100 x 50 x 25 world extent via spacing transform
+    vol = Volume([100, 100, 100], scale_matrix((1.0, 0.5, 0.25)))
+    size = vol.rescale_to_unit_cube()
+    assert size == pytest.approx(100.0)
+    lo, hi = vol.aabb()
+    np.testing.assert_allclose(hi - lo, [1.0, 0.5, 0.25], atol=1e-5)
+    np.testing.assert_allclose((lo + hi) / 2, 0.0, atol=1e-5)
+
+
+def test_volume_aabb_clipped():
+    vol = Volume([10, 10, 10], np.eye(4, dtype=np.float32))
+    lo, hi = vol.aabb_clipped([0.25, 0.0, 0.5], [0.75, 1.0, 1.0])
+    np.testing.assert_allclose(lo, [2.5, 0.0, 5.0], atol=1e-5)
+    np.testing.assert_allclose(hi, [7.5, 10.0, 10.0], atol=1e-5)
+
+
+def test_env_constant_pdf_and_radiance():
+    const = np.full((16, 32, 3), 2.0, np.float32)
+    state = build_env_state(const, strength=1.0)
+    rnd = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (512, 2)).astype(np.float32))
+    le, pdf, w_i = sample_environment(state, rnd)
+    np.testing.assert_allclose(np.asarray(le), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pdf), 1.0 / (4 * np.pi), rtol=1e-4)
+    norms = np.linalg.norm(np.asarray(w_i), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_env_importance_concentrates_on_bright_patch():
+    img = np.full((32, 64, 3), 0.01, np.float32)
+    img[8:12, 16:24] = 50.0  # bright patch
+    state = build_env_state(img)
+    rng = np.random.default_rng(1)
+    rnd = jnp.asarray(rng.uniform(0, 1, (2048, 2)).astype(np.float32))
+    le, pdf, w_i = sample_environment(state, rnd)
+    bright = np.asarray(le).max(axis=-1) > 1.0
+    assert bright.mean() > 0.5  # most samples land on the patch
+    assert np.asarray(pdf)[bright].mean() > np.asarray(pdf)[~bright].mean()
+
+
+def test_env_lookup_directions():
+    img = np.zeros((64, 128, 3), np.float32)
+    img[-4:, :] = 5.0  # texture rows near v=1 <-> +Y (up)
+    state = build_env_state(img)
+    up = lookup_environment(state, jnp.asarray([[0.0, 1.0, 0.0]]))
+    down = lookup_environment(state, jnp.asarray([[0.0, -1.0, 0.0]]))
+    assert float(up[0, 0]) > 1.0
+    assert float(down[0, 0]) < 0.1
+
+
+def test_env_sample_lookup_consistency():
+    """Radiance returned by sampling == direct lookup of returned direction."""
+    img = np.random.default_rng(2).uniform(0.1, 3.0, (32, 64, 3)).astype(np.float32)
+    state = build_env_state(img)
+    rnd = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (256, 2)).astype(np.float32))
+    le, pdf, w_i = sample_environment(state, rnd)
+    le2 = lookup_environment(state, w_i)
+    np.testing.assert_allclose(np.asarray(le), np.asarray(le2), rtol=2e-2, atol=1e-2)
+
+
+def test_default_environment_top_bright():
+    env = default_environment()
+    up = lookup_environment(env.state, jnp.asarray([[0.0, 1.0, 0.0]]))
+    down = lookup_environment(env.state, jnp.asarray([[0.0, -1.0, 0.0]]))
+    assert float(np.asarray(up).mean()) > float(np.asarray(down).mean())
+
+
+def test_pdf_environment_mean_near_uniform():
+    """For a constant map, pdf_environment == 1/(4pi) (environment.glsl:82-86)."""
+    const = np.full((16, 32, 3), 3.0, np.float32)
+    state = build_env_state(const)
+    dirs = np.random.default_rng(4).normal(size=(128, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pdf = np.asarray(pdf_environment(state, jnp.asarray(dirs.astype(np.float32))))
+    np.testing.assert_allclose(pdf, 1.0 / (4 * np.pi), rtol=1e-3)

@@ -1,7 +1,302 @@
-"""Renderer facade — fleshed out alongside the render core."""
+"""Renderer facade: the TPU-native counterpart of Volxel3DDicomRenderer.
+
+Owns the scene (volume, camera, environment, transfer LUT), the viewer
+settings, and the progressive accumulation loop. Public API mirrors the
+reference web component (viewer.ts:111+):
+
+  restart_from_files / restart_from_zip / restart_from_grid   (viewer.ts:963-1017)
+  load_env / load_env_default                                 (viewer.ts:1019-1040)
+  restore_settings / export_settings                          (viewer.ts:626-762)
+  render_frame / image / restart_rendering                    (viewer.ts:1183-1293)
+  render_mode property                                        (viewer.ts:1442-1452)
+
+Progressive semantics preserved: sample 0..4 are warm-up (sample_weight=0,
+each overwrites the buffer — viewer.ts:132,1356), accumulation starts at
+sample 5 as a running average. The reference's warm-up also drops to 0.33
+resolution for responsiveness; on TPU a resolution change would trigger a
+re-jit, so warm-up keeps full resolution (the converged image is identical
+because warm-up samples have zero weight).
+"""
 
 from __future__ import annotations
 
+import numpy as np
+import jax.numpy as jnp
 
-class Renderer:  # placeholder; implemented with the render core
-    pass
+from volxel_tpu.api.settings import ViewerSettings, make_settings_export
+from volxel_tpu.grid.brick import BrickGrid
+from volxel_tpu.ingest.hdr import decode_env_bytes
+from volxel_tpu.ingest.series import read_dicoms_to_grid
+from volxel_tpu.ingest.ziploader import read_zip_to_grid
+from volxel_tpu.render.pathtrace import (
+    RenderConfig,
+    accumulate,
+    render_sample,
+    tonemap,
+)
+from volxel_tpu.render.sampling import VolumeParams, device_grid_from_brick
+from volxel_tpu.scene.camera import Camera
+from volxel_tpu.scene.environment import Environment, default_environment
+from volxel_tpu.scene.volume import Volume
+from volxel_tpu.transfer.function import (
+    DEFAULT_COLOR_STOPS,
+    generate_transfer_function,
+)
+
+LOW_RESOLUTION_DURATION = 5  # warm-up samples (viewer.ts:132)
+
+
+class Renderer:
+    def __init__(
+        self,
+        width: int = 1920,
+        height: int = 1080,
+        settings: ViewerSettings | None = None,
+    ):
+        self.width = int(width)
+        self.height = int(height)
+        self.settings = settings or ViewerSettings()
+
+        self.camera = Camera(1.0)
+        self.environment: Environment = default_environment()
+        self.volume: Volume | None = None
+        self.density_scale: float = 1.0
+        self.grid: BrickGrid | None = None
+        self._device_grid = None
+
+        self._transfer_colors = [dict(c) for c in DEFAULT_COLOR_STOPS]
+        self._transfer_type = "color_stops"
+        self._lut = jnp.asarray(generate_transfer_function(self._transfer_colors))
+
+        self.frame_index = 0
+        self._framebuffer = jnp.zeros((self.height * self.width, 3), jnp.float32)
+
+    # -- volume loading (viewer.ts:963-1017, 1080-1145) ------------------------
+
+    def restart_from_grid(self, grid: BrickGrid) -> None:
+        """setupFromGrid: reset clip/scale, unit-cube rescale, upload."""
+        self.grid = grid
+        self.density_scale = 1.0
+        self.settings.volume_clip_min = [0.0, 0.0, 0.0]
+        self.settings.volume_clip_max = [1.0, 1.0, 1.0]
+        self.volume = Volume.from_grid(grid)
+        self.density_scale *= self.volume.rescale_to_unit_cube()
+        self._device_grid = device_grid_from_brick(grid)
+        self.restart_rendering()
+
+    def restart_from_files(self, sources: list) -> None:
+        self.restart_from_grid(read_dicoms_to_grid(sources))
+
+    def restart_from_zip(self, source) -> None:
+        self.restart_from_grid(read_zip_to_grid(source))
+
+    # -- environment (viewer.ts:1019-1040, 1074-1078) --------------------------
+
+    def load_env(self, data: bytes, strength: float | None = None) -> None:
+        image = decode_env_bytes(data)
+        self.environment = Environment(
+            image, strength if strength is not None else self.environment.strength
+        )
+        self.restart_rendering()
+
+    def load_env_default(self) -> None:
+        self.environment = default_environment()
+        self.restart_rendering()
+
+    @property
+    def env_strength(self) -> float:
+        return self.environment.strength
+
+    @env_strength.setter
+    def env_strength(self, value: float) -> None:
+        self.environment.with_strength(float(value))
+        self.restart_rendering()
+
+    # -- transfer function ------------------------------------------------------
+
+    def set_transfer_colors(self, colors: list[dict]) -> None:
+        self._transfer_colors = [dict(c) for c in colors]
+        self._transfer_type = "color_stops"
+        self._lut = jnp.asarray(generate_transfer_function(self._transfer_colors))
+        self.restart_rendering()
+
+    def set_transfer_full(self, rgba_rows) -> None:
+        self._transfer_colors = [list(r) for r in rgba_rows]
+        self._transfer_type = "full"
+        self._lut = jnp.asarray(np.asarray(rgba_rows, dtype=np.float32))
+        self.restart_rendering()
+
+    # -- render mode (viewer.ts:1442-1452) --------------------------------------
+
+    @property
+    def render_mode(self) -> str:
+        return self.settings.render_mode
+
+    @render_mode.setter
+    def render_mode(self, mode: str) -> None:
+        if mode not in ("default", "no_dda", "raymarch"):
+            raise ValueError(f"Unknown render mode: {mode}")
+        self.settings.render_mode = mode
+        self.restart_rendering()
+
+    # -- progressive loop (viewer.ts:1155-1293) ---------------------------------
+
+    def restart_rendering(self) -> None:
+        self.frame_index = 0
+
+    def _render_dims(self) -> tuple[int, int]:
+        factor = float(self.settings.resolution_factor)
+        return max(1, round(self.width * factor)), max(1, round(self.height * factor))
+
+    def _config(self) -> RenderConfig:
+        w, h = self._render_dims()
+        return RenderConfig(
+            width=w,
+            height=h,
+            mode=self.settings.render_mode,
+            bounces=int(self.settings.bounces),
+            show_environment=bool(self.settings.show_environment),
+            use_env=bool(self.settings.use_env),
+            debug_hits=bool(self.settings.debug_hits),
+        )
+
+    def volume_params(self) -> VolumeParams:
+        """bindUniforms volume block (viewer.ts:1324-1345)."""
+        if self.volume is None:
+            raise RuntimeError("No volume loaded")
+        lo, hi = self.volume.aabb_clipped(
+            self.settings.volume_clip_min, self.settings.volume_clip_max
+        )
+        vmin, vmaj = self.volume.min_maj
+        scale = self.density_scale * self.settings.density_multiplier
+        maj = vmaj * scale
+        return VolumeParams(
+            aabb_lo=jnp.asarray(lo),
+            aabb_hi=jnp.asarray(hi),
+            transform_inv=jnp.asarray(
+                np.linalg.inv(self.volume.combined_transform()).astype(np.float32)
+            ),
+            vol_min=jnp.float32(vmin * scale),
+            vol_maj=jnp.float32(maj),
+            inv_maj=jnp.float32(1.0 / maj),
+            density_scale=jnp.float32(scale),
+            albedo=jnp.full((3,), 0.9, jnp.float32),  # viewer.ts:1337
+            phase_g=jnp.float32(0.0),  # viewer.ts:1338
+            sample_range=jnp.asarray(self.settings.sample_range, jnp.float32),
+        )
+
+    def sample_weight(self) -> float:
+        """viewer.ts:1356"""
+        f = self.frame_index
+        if f < LOW_RESOLUTION_DURATION:
+            return 0.0
+        return (f - LOW_RESOLUTION_DURATION) / (f - LOW_RESOLUTION_DURATION + 1)
+
+    def render_frame(self):
+        """Render one progressive sample and fold it into the accumulator.
+
+        Returns the accumulated (linear, pre-tonemap) framebuffer.
+        """
+        if self._device_grid is None:
+            raise RuntimeError("No volume loaded")
+        config = self._config()
+        n = config.width * config.height
+        if self._framebuffer.shape[0] != n:
+            self._framebuffer = jnp.zeros((n, 3), jnp.float32)
+
+        w, h = config.width, config.height
+        inv_view = jnp.asarray(
+            np.linalg.inv(self.camera.view_matrix()).astype(np.float32)
+        )
+        inv_proj = jnp.asarray(
+            np.linalg.inv(self.camera.proj_matrix(w / h)).astype(np.float32)
+        )
+        sample = render_sample(
+            config,
+            self._device_grid,
+            self.volume_params(),
+            self._lut,
+            self.environment.state,
+            inv_view,
+            inv_proj,
+            jnp.asarray(self.settings.light_dir, jnp.float32),
+            jnp.uint32(self.frame_index),
+        )
+        weight = jnp.float32(self.sample_weight())
+        self._framebuffer = accumulate(self._framebuffer, sample, weight)
+        self.frame_index += 1
+        return self._framebuffer
+
+    def render(self, samples: int | None = None):
+        """Run the progressive loop for `samples` frames (or maxSamples)."""
+        total = samples if samples is not None else self.settings.max_samples
+        for _ in range(total):
+            self.render_frame()
+        return self.image()
+
+    def image(self) -> np.ndarray:
+        """Tonemapped (height, width, 3) float32 image, row 0 = top."""
+        config = self._config()
+        img = tonemap(
+            self._framebuffer,
+            jnp.float32(self.settings.exposure),
+            jnp.float32(self.settings.gamma),
+        )
+        img = np.asarray(img).reshape(config.height, config.width, 3)
+        return img[::-1]  # GL row 0 is the bottom
+
+    def raw_image(self) -> np.ndarray:
+        """Linear accumulated radiance, (height, width, 3), row 0 = top."""
+        config = self._config()
+        return np.asarray(self._framebuffer).reshape(config.height, config.width, 3)[
+            ::-1
+        ]
+
+    # -- settings import/export (viewer.ts:626-762) ------------------------------
+
+    def export_settings(self) -> dict:
+        return make_settings_export(
+            self.settings,
+            transfer_colors=self._transfer_colors,
+            transfer_type=self._transfer_type,
+            histogram_range=self.settings.sample_range,
+            env_strength=self.environment.strength,
+            camera_pos=self.camera.pos,
+            camera_look_at=self.camera.view,
+        )
+
+    def restore_settings(self, export: dict) -> None:
+        """Apply a verified V3 SettingsExport (viewer.ts restoreSettings)."""
+        from volxel_tpu.api.settings import verify_settings
+
+        export = verify_settings(export)
+        tr = export["transfer"]
+        self.settings.density_multiplier = tr["densityMultiplier"]
+        self.settings.sample_range = list(tr["histogramRange"])
+        if tr["transfer"]["type"] == "color_stops":
+            self.set_transfer_colors(tr["transfer"]["colors"])
+        else:
+            self.set_transfer_full(tr["transfer"]["colors"])
+
+        disp = export["display"]
+        self.settings.max_samples = int(disp["samples"])
+        self.settings.bounces = int(disp["bounces"])
+        self.settings.gamma = disp["gamma"]
+        self.settings.exposure = disp["exposure"]
+        self.settings.debug_hits = disp["debugHits"]
+        self.settings.render_mode = disp["renderMode"]
+        self.settings.resolution_factor = disp["resolutionFactor"]
+
+        light = export["lighting"]
+        self.settings.use_env = light["useEnv"]
+        self.settings.show_environment = light["showEnv"]
+        self.environment.with_strength(light["envStrength"])
+        self.settings.sync_light_dir = light["syncLightDir"]
+        self.settings.light_dir = list(light["lightDir"])
+
+        other = export["other"]
+        self.camera.pos = np.asarray(other["cameraPos"], np.float64)
+        self.camera.view = np.asarray(other["cameraLookAt"], np.float64)
+        self.settings.volume_clip_min = list(other["clipMin"])
+        self.settings.volume_clip_max = list(other["clipMax"])
+        self.restart_rendering()

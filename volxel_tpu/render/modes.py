@@ -1,0 +1,437 @@
+"""Volume traversal modes: DDA empty-space skipping, delta tracking, raymarch.
+
+JAX re-designs of shaders/sampling/{dda,normal,raymarch}.glsl. The GL
+originals are per-pixel divergent loops; here every function advances the
+whole ray wavefront in lockstep under an active mask inside a
+lax.while_loop (or a static fori for raymarch), exiting when every lane is
+done. Mode selection is static (config -> specialized jit), the direct
+analog of the reference's shader #define injection (viewer.ts:771-787).
+
+All functions share the signature contract:
+  sample_volume_*(grid, params, lut, origin, direction, state, active)
+    -> (state, hit, t, rgb, Le_add)
+  transmittance_*(grid, params, lut, origin, direction, state, active)
+    -> (state, Tr)
+with origin/direction in world space, state the per-ray RNG state, and
+`active` masking rays that should not trace (their results are unused and
+their RNG stream still advances deterministically).
+
+Loop caps: the reference caps transmittanceDDA at 100 steps (dda.glsl:18)
+and leaves the others unbounded; unbounded loops don't exist on TPU, so the
+others get generous static caps (config below) — an escape hatch that in
+practice never binds before near_far.y is reached.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from volxel_tpu.render.rays import Rays, ray_box_intersection
+from volxel_tpu.render.rng import rng
+from volxel_tpu.render.sampling import (
+    DeviceGrid,
+    VolumeParams,
+    lookup_density_stochastic,
+    lookup_density_trilinear,
+    lookup_majorant,
+    lookup_transfer,
+    world_to_index_dir,
+    world_to_index_point,
+)
+
+# static loop caps
+DDA_SAMPLE_MAX_STEPS = 1024
+DDA_TRANSMITTANCE_MAX_STEPS = 100  # dda.glsl:18
+TRACKING_MAX_EVENTS = 512
+RAYMARCH_STEPS = 64  # raymarch.glsl:6
+
+# adaptive mip schedule (dda.glsl:6-8)
+MIP_START = 3.0
+MIP_SPEED_UP = 0.25
+MIP_SPEED_DOWN = 2.0
+
+
+def _to_index_space(params: VolumeParams, origin, direction):
+    ipos = world_to_index_point(params, origin)
+    idir = world_to_index_dir(params, direction)  # non-normalized, like the GL
+    return ipos, idir
+
+
+def _step_dda(pos, inv_dir, mip_i):
+    """Axis-aligned brick DDA step at a mip level (dda.glsl:10-16)."""
+    dim = (8 * (1 << mip_i)).astype(jnp.float32)[..., None]
+    offs = jnp.where(inv_dir >= 0.0, dim + 0.5, -0.5)
+    tmax = (jnp.floor(pos / dim) * dim + offs - pos) * inv_dir
+    return jnp.min(tmax, axis=-1)
+
+
+def _round_mip(mip):
+    return jnp.clip(jnp.floor(mip + 0.5).astype(jnp.int32), 0, 3)
+
+
+# ---------------------------------------------------------------------------
+# DDA null-collision (default mode) — dda.glsl
+# ---------------------------------------------------------------------------
+
+
+def sample_volume_dda(grid, params, lut, origin, direction, state, active):
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+    ri = 1.0 / idir
+
+    state, xi = rng(state)
+    t0 = near + 1e-6
+    tau0 = -jnp.log(1.0 - xi)
+    running0 = active & hit_box & (t0 < far)
+
+    n = origin.shape[0]
+    init = (
+        state,
+        t0,
+        tau0,
+        jnp.full((n,), MIP_START, jnp.float32),
+        running0,
+        jnp.zeros((n,), jnp.bool_),  # hit
+        jnp.ones((n, 3), jnp.float32),  # rgb at collision
+        jnp.zeros((n,), jnp.int32),  # step counter
+    )
+
+    def cond(carry):
+        _, _, _, _, running, _, _, steps = carry
+        return jnp.any(running) & (steps[0] < DDA_SAMPLE_MAX_STEPS)
+
+    def body(carry):
+        state_in, t, tau, mip, running, hit, rgb_out, steps = carry
+        state = state_in
+        mip_i = _round_mip(mip)
+        curr = ipos + t[..., None] * idir
+        maj_density = lookup_majorant(grid, params, curr, mip_i)
+        majorant = (
+            params.vol_maj
+            * lookup_transfer(lut, params.sample_range, maj_density * params.inv_maj)[
+                ..., 3
+            ]
+        )
+        dt = _step_dda(curr, ri, mip_i)
+        t_new = t + dt
+        tau_new = tau - majorant * dt
+        mip_up = jnp.minimum(mip + MIP_SPEED_UP, 3.0)
+
+        collided = tau_new <= 0.0
+        # step back to the collision point
+        t_coll = t_new + tau_new / jnp.maximum(majorant, 1e-20)
+        escaped = t_coll >= far
+
+        rgba = lookup_transfer(
+            lut,
+            params.sample_range,
+            lookup_density_trilinear(grid, params, ipos + t_coll[..., None] * idir)
+            * params.inv_maj,
+        )
+        d = params.vol_maj * rgba[..., 3]
+        state, xi1 = rng(state)
+        real = xi1 * majorant < d
+        state, xi2 = rng(state)
+        tau_reset = -jnp.log(1.0 - xi2)
+
+        check = running & collided
+        new_hit = check & (~escaped) & real
+        stop = check & (escaped | real)
+
+        t = jnp.where(check, t_coll, jnp.where(running, t_new, t))
+        tau = jnp.where(check, tau_reset, jnp.where(running, tau_new, tau))
+        mip = jnp.where(
+            check,
+            jnp.maximum(0.0, mip - MIP_SPEED_DOWN),
+            jnp.where(running, mip_up, mip),
+        )
+        rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
+        hit = hit | new_hit
+        # lanes that are not running keep their RNG state: per-ray draw
+        # counts stay independent of the wavefront's iteration count, so
+        # results are identical under any pixel sharding
+        state = jnp.where(running[..., None], state, state_in)
+        running = running & ~stop & (t < far)
+        return (state, t, tau, mip, running, hit, rgb_out, steps + 1)
+
+    state, t, _, _, _, hit, rgb, _ = jax.lax.while_loop(cond, body, init)
+    le_add = jnp.zeros((n, 3), jnp.float32)  # emission stub (common.glsl:87-88)
+    return state, hit, t, rgb, le_add
+
+
+def transmittance_dda(grid, params, lut, origin, direction, state, active):
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+    ri = 1.0 / idir
+
+    state, xi = rng(state)
+    t0 = near + 1e-6
+    tau0 = -jnp.log(1.0 - xi)
+    running0 = active & hit_box & (t0 < far)
+
+    n = origin.shape[0]
+    init = (
+        state,
+        t0,
+        tau0,
+        jnp.full((n,), MIP_START, jnp.float32),
+        running0,
+        jnp.ones((n,), jnp.float32),  # Tr
+        jnp.zeros((n,), jnp.int32),
+    )
+
+    def cond(carry):
+        _, _, _, _, running, _, steps = carry
+        return jnp.any(running) & (steps[0] < DDA_TRANSMITTANCE_MAX_STEPS)
+
+    def body(carry):
+        state_in, t, tau, mip, running, tr, steps = carry
+        state = state_in
+        mip_i = _round_mip(mip)
+        curr = ipos + t[..., None] * idir
+        maj_density = lookup_majorant(grid, params, curr, mip_i)
+        majorant = (
+            params.vol_maj
+            * lookup_transfer(lut, params.sample_range, maj_density * params.inv_maj)[
+                ..., 3
+            ]
+        )
+        dt = _step_dda(curr, ri, mip_i)
+        t_new = t + dt
+        tau_new = tau - majorant * dt
+        mip_up = jnp.minimum(mip + MIP_SPEED_UP, 3.0)
+
+        collided = tau_new <= 0.0
+        t_coll = t_new + tau_new / jnp.maximum(majorant, 1e-20)
+        escaped = t_coll >= far
+
+        rgba = lookup_transfer(
+            lut,
+            params.sample_range,
+            lookup_density_trilinear(grid, params, ipos + t_coll[..., None] * idir)
+            * params.inv_maj,
+        )
+        d = params.vol_maj * rgba[..., 3]
+        state, xi1 = rng(state)
+        real = xi1 * majorant < d
+
+        check = running & collided & ~escaped
+        # reference quirk (dda.glsl:48): Tr *= max(0, 1 - global_maj/local_maj)
+        # which is 0 whenever transfer alpha <= 1 — real collisions are opaque
+        ratio = jnp.maximum(0.0, 1.0 - params.vol_maj / jnp.maximum(majorant, 1e-20))
+        tr_new = jnp.where(check & real, tr * ratio, tr)
+        # russian roulette on low transmittance (dda.glsl:50-54)
+        state, xi_rr = rng(state)
+        rr_active = check & real & (tr_new < 0.1)
+        killed = rr_active & (xi_rr < (1.0 - tr_new))
+        tr_new = jnp.where(
+            rr_active & ~killed, tr_new / jnp.maximum(tr_new, 1e-20), tr_new
+        )
+        tr = jnp.where(killed, 0.0, tr_new)
+
+        state, xi2 = rng(state)
+        tau_reset = -jnp.log(1.0 - xi2)
+
+        t = jnp.where(running & collided, t_coll, jnp.where(running, t_new, t))
+        tau = jnp.where(running & collided, tau_reset, jnp.where(running, tau_new, tau))
+        mip = jnp.where(
+            running & collided,
+            jnp.maximum(0.0, mip - MIP_SPEED_DOWN),
+            jnp.where(running, mip_up, mip),
+        )
+        state = jnp.where(running[..., None], state, state_in)
+        running = running & ~killed & (t < far) & ~(collided & escaped)
+        return (state, t, tau, mip, running, tr, steps + 1)
+
+    state, _, _, _, _, tr, _ = jax.lax.while_loop(cond, body, init)
+    return state, tr
+
+
+# ---------------------------------------------------------------------------
+# Delta / ratio tracking (no_dda mode) — normal.glsl
+# ---------------------------------------------------------------------------
+
+
+def sample_volume_simple(grid, params, lut, origin, direction, state, active):
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+
+    state, xi = rng(state)
+    t0 = near - jnp.log(1.0 - xi) * params.inv_maj
+    running0 = active & hit_box & (t0 < far)
+
+    n = origin.shape[0]
+    init = (
+        state,
+        t0,
+        running0,
+        jnp.zeros((n,), jnp.bool_),
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n,), jnp.int32),
+    )
+
+    def cond(carry):
+        _, _, running, _, _, steps = carry
+        return jnp.any(running) & (steps[0] < TRACKING_MAX_EVENTS)
+
+    def body(carry):
+        state_in, t, running, hit, rgb_out, steps = carry
+        state = state_in
+        rgba = lookup_transfer(
+            lut,
+            params.sample_range,
+            lookup_density_trilinear(grid, params, ipos + t[..., None] * idir)
+            * params.inv_maj,
+        )
+        d = params.vol_maj * rgba[..., 3]
+        p_real = d * params.inv_maj
+        state, xi1 = rng(state)
+        real = xi1 < p_real
+        new_hit = running & real
+        hit = hit | new_hit
+        rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
+        state, xi2 = rng(state)
+        t_new = t - jnp.log(1.0 - xi2) * params.inv_maj
+        t = jnp.where(running & ~real, t_new, t)
+        state = jnp.where(running[..., None], state, state_in)
+        running = running & ~real & (t < far)
+        return (state, t, running, hit, rgb_out, steps + 1)
+
+    state, t, _, hit, rgb, _ = jax.lax.while_loop(cond, body, init)
+    le_add = jnp.zeros((n, 3), jnp.float32)
+    return state, hit, t, rgb, le_add
+
+
+def transmittance_simple(grid, params, lut, origin, direction, state, active):
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+
+    state, xi = rng(state)
+    t0 = near - jnp.log(1.0 - xi) * params.inv_maj
+    running0 = active & hit_box & (t0 < far)
+
+    n = origin.shape[0]
+    init = (state, t0, running0, jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.int32))
+
+    def cond(carry):
+        _, _, running, _, steps = carry
+        return jnp.any(running) & (steps[0] < TRACKING_MAX_EVENTS)
+
+    def body(carry):
+        state_in, t, running, tr, steps = carry
+        state = state_in
+        rgba = lookup_transfer(
+            lut,
+            params.sample_range,
+            lookup_density_trilinear(grid, params, ipos + t[..., None] * idir)
+            * params.inv_maj,
+        )
+        d = params.vol_maj * rgba[..., 3]
+        tr_new = jnp.where(running, tr * (1.0 - d * params.inv_maj), tr)
+        # russian roulette (normal.glsl:20-26)
+        state, xi_rr = rng(state)
+        rr_active = running & (tr_new < 0.1)
+        killed = rr_active & (xi_rr < (1.0 - tr_new))
+        tr_new = jnp.where(
+            rr_active & ~killed, tr_new / jnp.maximum(tr_new, 1e-20), tr_new
+        )
+        tr = jnp.where(killed, 0.0, tr_new)
+        state, xi2 = rng(state)
+        t_new = t - jnp.log(1.0 - xi2) * params.inv_maj
+        t = jnp.where(running, t_new, t)
+        state = jnp.where(running[..., None], state, state_in)
+        running = running & ~killed & (t < far)
+        return (state, t, running, tr, steps + 1)
+
+    state, _, _, tr, _ = jax.lax.while_loop(cond, body, init)
+    return state, tr
+
+
+# ---------------------------------------------------------------------------
+# Fixed-step ray marching (raymarch mode) — raymarch.glsl
+# ---------------------------------------------------------------------------
+
+
+def sample_volume_raymarch(grid, params, lut, origin, direction, state, active):
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+
+    state, xi_tau = rng(state)
+    tau_target = -jnp.log(1.0 - xi_tau)
+    dt = (far - near) / RAYMARCH_STEPS
+    state, xi_j = rng(state)
+    start = near + xi_j * dt
+
+    n = origin.shape[0]
+    tau = jnp.zeros((n,), jnp.float32)
+    hit = jnp.zeros((n,), jnp.bool_)
+    t_out = jnp.zeros((n,), jnp.float32)
+    rgb_out = jnp.ones((n, 3), jnp.float32)
+
+    valid = active & hit_box
+
+    def body(i, carry):
+        state, tau, hit, t_out, rgb_out = carry
+        t = jnp.minimum(start + i * dt, far)
+        state, d_raw = lookup_density_stochastic(
+            grid, params, ipos + t[..., None] * idir, state
+        )
+        rgba = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj)
+        tau_new = tau + rgba[..., 3] * params.vol_maj * dt
+        new_hit = valid & ~hit & (tau_new >= tau_target)
+        hit = hit | new_hit
+        t_out = jnp.where(new_hit, t, t_out)
+        rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
+        tau = jnp.where(valid, tau_new, tau)
+        return (state, tau, hit, t_out, rgb_out)
+
+    state, tau, hit, t_out, rgb_out = jax.lax.fori_loop(
+        0, RAYMARCH_STEPS, body, (state, tau, hit, t_out, rgb_out)
+    )
+    le_add = jnp.zeros((n, 3), jnp.float32)
+    return state, hit, t_out, rgb_out, le_add
+
+
+def transmittance_raymarch(grid, params, lut, origin, direction, state, active):
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+
+    dt = (far - near) / RAYMARCH_STEPS
+    state, xi_j = rng(state)
+    start = near + xi_j * dt
+
+    n = origin.shape[0]
+    valid = active & hit_box
+
+    def body(i, carry):
+        state, tau = carry
+        t = jnp.minimum(start + i * dt, far)
+        state, d_raw = lookup_density_stochastic(
+            grid, params, ipos + t[..., None] * idir, state
+        )
+        alpha = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj)[..., 3]
+        tau = tau + jnp.where(valid, alpha * params.vol_maj * dt, 0.0)
+        return (state, tau)
+
+    state, tau = jax.lax.fori_loop(0, RAYMARCH_STEPS, body, (jnp.asarray(state), jnp.zeros((n,), jnp.float32)))
+    return state, jnp.exp(-tau)
+
+
+MODE_FUNCTIONS = {
+    "default": (sample_volume_dda, transmittance_dda),
+    "no_dda": (sample_volume_simple, transmittance_simple),
+    "raymarch": (sample_volume_raymarch, transmittance_raymarch),
+}

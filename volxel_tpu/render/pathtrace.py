@@ -1,0 +1,284 @@
+"""Wavefront volumetric path tracer (shaders/fragment.frag in JAX).
+
+One call renders one progressive sample for every pixel: seeds per-ray RNG
+from (pixel, frame) exactly like the reference (fragment.frag:143-144),
+builds jittered camera rays, and runs trace_path (fragment.frag:79-124) —
+NEE with MIS power heuristic, Henyey-Greenstein scattering, russian
+roulette — over the whole ray wavefront with masked lockstep bounces.
+
+Static configuration (render mode, bounce count, env toggles, resolution)
+specializes the jit, mirroring the reference's compile-time shader #define
+injection (viewer.ts:771-787).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from volxel_tpu.render.modes import MODE_FUNCTIONS
+from volxel_tpu.render.rays import (
+    Rays,
+    camera_rays,
+    luma,
+    phase_henyey_greenstein,
+    pixel_ndc,
+    power_heuristic,
+    ray_box_intersection,
+    sample_phase_henyey_greenstein,
+    sanitize,
+)
+from volxel_tpu.render.rng import rng, rng2, seed_rays
+from volxel_tpu.render.sampling import DeviceGrid, VolumeParams, lookup_transfer  # noqa: F401
+from volxel_tpu.scene.environment import (
+    EnvState,
+    background_color,
+    lookup_environment,
+    lookup_environment_light,
+    pdf_environment,
+    sample_environment,
+    sample_environment_light,
+)
+
+
+class RenderConfig(NamedTuple):
+    """Static (hashable) render configuration -> one jit specialization."""
+
+    width: int
+    height: int
+    mode: str = "default"  # default | no_dda | raymarch
+    bounces: int = 3
+    show_environment: bool = True
+    use_env: bool = True
+    debug_hits: bool = False
+    hide_envmap: bool = False
+
+
+def trace_path(
+    config: RenderConfig,
+    grid: DeviceGrid,
+    params: VolumeParams,
+    lut,
+    env: EnvState,
+    light_dir,
+    origin,
+    direction,
+    state,
+):
+    """fragment.frag:79-124 vectorized over the ray wavefront."""
+    sample_volume, transmittance = MODE_FUNCTIONS[config.mode]
+    n = origin.shape[0]
+
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), jnp.bool_)
+    n_paths = jnp.zeros((n,), jnp.int32)
+    f_p = jnp.zeros((n,), jnp.float32)
+
+    def env_radiance(directions):
+        if config.use_env:
+            return lookup_environment(env, directions)
+        return lookup_environment_light(env, directions, light_dir)
+
+    for _ in range(config.bounces):
+        state, hit, t, rgb, le_add = sample_volume(
+            grid, params, lut, origin, direction, state, active
+        )
+        hit = hit & active
+        miss = active & ~hit
+        radiance = radiance + le_add
+
+        # escaped rays: environment contribution with MIS (fragment.frag:117-121)
+        if config.show_environment:
+            le = env_radiance(direction)
+            mis = jnp.where(
+                n_paths > 0,
+                power_heuristic(f_p, pdf_environment(env, direction)),
+                1.0,
+            )
+            radiance = radiance + jnp.where(
+                miss[..., None], throughput * mis[..., None] * le, 0.0
+            )
+        active = hit
+
+        # advance to the collision and absorb (fragment.frag:81-84 + mode rgb)
+        origin = jnp.where(hit[..., None], origin + t[..., None] * direction, origin)
+        throughput = jnp.where(
+            hit[..., None], throughput * params.albedo * rgb, throughput
+        )
+
+        # next-event estimation toward the environment (fragment.frag:86-98)
+        state, xi2 = rng2(state)
+        if config.use_env:
+            le_nee, pdf_nee, w_i = sample_environment(env, xi2)
+        else:
+            le_nee, pdf_nee, w_i = sample_environment_light(env, xi2, light_dir)
+        valid_nee = active & (pdf_nee > 0.0)
+        f_p_nee = phase_henyey_greenstein(
+            jnp.sum(-direction * w_i, axis=-1), params.phase_g
+        )
+        mis_nee = (
+            power_heuristic(pdf_nee, f_p_nee)
+            if config.show_environment
+            else jnp.ones((n,), jnp.float32)
+        )
+        state, tr = transmittance(grid, params, lut, origin, w_i, state, valid_nee)
+        radiance = radiance + jnp.where(
+            valid_nee[..., None],
+            throughput
+            * (mis_nee * f_p_nee * tr / jnp.maximum(pdf_nee, 1e-20))[..., None]
+            * le_nee,
+            0.0,
+        )
+        n_paths = n_paths + active.astype(jnp.int32)
+
+        # bounce cap (fragment.frag:101)
+        active = active & (n_paths < config.bounces)
+
+        # russian roulette (fragment.frag:102-107)
+        rr_val = luma(throughput)
+        state, xi_rr = rng(state)
+        low = active & (rr_val < 0.1)
+        killed = low & (xi_rr < 1.0 - rr_val)
+        throughput = jnp.where(
+            (low & ~killed)[..., None],
+            throughput / jnp.maximum(rr_val, 1e-20)[..., None],
+            throughput,
+        )
+        active = active & ~killed
+
+        # scatter (fragment.frag:110-113)
+        state, xi_ph = rng2(state)
+        new_dir = sample_phase_henyey_greenstein(direction, params.phase_g, xi_ph)
+        f_p = jnp.where(
+            active,
+            phase_henyey_greenstein(
+                jnp.sum(-direction * new_dir, axis=-1), params.phase_g
+            ),
+            f_p,
+        )
+        direction = jnp.where(active[..., None], new_dir, direction)
+
+    return state, radiance
+
+
+def _debug_hits(config, params, env, light_dir, origin, direction):
+    """u_debugHits mode (fragment.frag:147-153)."""
+    hit, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    hit_min = jnp.where(
+        (near < 0.0)[..., None], origin, origin + near[..., None] * direction
+    )
+    rgb_hit = (hit_min - params.aabb_lo) / (params.aabb_hi - params.aabb_lo)
+    bg = background_color(env, direction, config.hide_envmap, light_dir)
+    return jnp.where(hit[..., None], rgb_hit, bg)
+
+
+def render_pixels(
+    config: RenderConfig,
+    grid: DeviceGrid,
+    params: VolumeParams,
+    lut,
+    env: EnvState,
+    inv_view,
+    inv_proj,
+    light_dir,
+    pixel_index,
+    frame_index,
+):
+    """Render one sample for an explicit pixel-index subset -> (n, 3).
+
+    The building block for sharded rendering: pixel_index is any uint32
+    subset of [0, width*height); RNG seeding depends only on the global
+    pixel index + frame, so a sharded render is bit-identical to a
+    single-device one.
+    """
+    state = seed_rays(pixel_index, frame_index)
+
+    state, j1 = rng2(state)
+    state, j2 = rng2(state)
+    px = (pixel_index % jnp.uint32(config.width)).astype(jnp.float32)
+    py = (pixel_index // jnp.uint32(config.width)).astype(jnp.float32)
+    tex = jnp.stack(
+        [
+            (px + 0.5) / config.width,
+            (py + 0.5) / config.height,
+        ],
+        axis=-1,
+    )
+    jitter = (j1 + j2) / 2.0
+    ndc = tex + (jitter * 2.0 - 1.0) / jnp.array(
+        [config.width, config.height], jnp.float32
+    )
+    rays = camera_rays(inv_view, inv_proj, ndc)
+
+    if config.debug_hits:
+        return _debug_hits(config, params, env, light_dir, rays.origin, rays.direction)
+
+    state, radiance = trace_path(
+        config,
+        grid,
+        params,
+        lut,
+        env,
+        light_dir,
+        rays.origin,
+        rays.direction,
+        state,
+    )
+    return sanitize(radiance)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def render_sample(
+    config: RenderConfig,
+    grid: DeviceGrid,
+    params: VolumeParams,
+    lut,
+    env: EnvState,
+    inv_view,
+    inv_proj,
+    light_dir,
+    frame_index,
+):
+    """Render one progressive sample -> (height*width, 3) float32 radiance.
+
+    Pixel order is row-major with row 0 at the image bottom (GL fragment
+    convention); hosts reshape to (height, width, 3) and flip for display.
+    """
+    n = config.width * config.height
+    pixel_index = jnp.arange(n, dtype=jnp.uint32)
+    return render_pixels(
+        config,
+        grid,
+        params,
+        lut,
+        env,
+        inv_view,
+        inv_proj,
+        light_dir,
+        pixel_index,
+        frame_index,
+    )
+
+
+def accumulate(previous, sample, sample_weight):
+    """Progressive running average (fragment.frag:158, viewer.ts:1356)."""
+    return sample_weight * previous + (1.0 - sample_weight) * sample
+
+
+@functools.partial(jax.jit, static_argnums=())
+def tonemap(image, exposure, gamma):
+    """Hable/Uncharted2 filmic tonemap + gamma (blit.frag:17-35)."""
+
+    def hable(rgb):
+        a, b, c, d, e, f = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+        return ((rgb * (a * rgb + c * b) + d * e) / (rgb * (a * rgb + b) + d * f)) - e / f
+
+    w = jnp.float32(11.2)
+    mapped = hable(exposure * image) / hable(w)
+    return jnp.power(jnp.clip(mapped, 0.0, None), 1.0 / gamma)

@@ -1,0 +1,191 @@
+"""Device-side brick-grid lookups and transfer-function sampling.
+
+JAX re-design of shaders/sampling/common.glsl. All functions are vectorized
+over an arbitrary leading ray/sample shape and are pure (state explicit).
+
+TPU-specific redesign vs the GL original:
+  * the per-ray adaptive-mip majorant lookup (common.glsl:50-53) would need
+    a data-dependent texture level; instead every range-mip level is
+    nearest-upsampled to finest brick resolution at load time and stacked
+    into one (NUM_MIPS+1, bz, by, bx) array, so the traced mip index becomes
+    one more gather coordinate. 4 levels of a 64^3 brick grid cost ~4 MiB.
+  * the transfer LUT is sampled NEAREST (the viewer uses NEAREST filters,
+    viewer.ts:386-387) with sample-range rejection (common.glsl:78-83).
+  * out-of-extent voxel taps return 0.0 like GL texelFetch robust access.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volxel_tpu.grid.brick import BrickGrid
+from volxel_tpu.render.rng import rng3
+
+
+class DeviceGrid(NamedTuple):
+    """Brick grid resident in HBM."""
+
+    atlas: jax.Array  # (az, ay, ax) uint8
+    range_lo: jax.Array  # (bz, by, bx) float32
+    range_hi: jax.Array  # (bz, by, bx) float32
+    ptr: jax.Array  # (bz, by, bx, 3) int32 (x, y, z)
+    # all mip levels upsampled to finest brick resolution:
+    maj_mips: jax.Array  # (4, bz, by, bx) float32 — level 0 = range_hi
+    extent: jax.Array  # (3,) int32 (x, y, z) index extent
+
+
+def _upsample_nearest(arr: np.ndarray, factor: int) -> np.ndarray:
+    return np.repeat(np.repeat(np.repeat(arr, factor, 0), factor, 1), factor, 2)
+
+
+def device_grid_from_brick(grid: BrickGrid) -> DeviceGrid:
+    bx, by, bz = grid.brick_count
+    mips = [grid.range_hi]
+    for level, (_, hi) in enumerate(grid.range_mips):
+        mips.append(_upsample_nearest(hi, 1 << (level + 1)))
+    maj = np.stack(mips, axis=0).astype(np.float32)
+    return DeviceGrid(
+        atlas=jnp.asarray(grid.atlas),
+        range_lo=jnp.asarray(grid.range_lo),
+        range_hi=jnp.asarray(grid.range_hi),
+        ptr=jnp.asarray(grid.indirection),
+        maj_mips=jnp.asarray(maj),
+        extent=jnp.asarray(np.array(grid.index_extent, np.int32)),
+    )
+
+
+class VolumeParams(NamedTuple):
+    """Per-frame volume uniforms (viewer.ts bindUniforms, :1295-1357)."""
+
+    aabb_lo: jax.Array  # (3,) world-space clipped AABB
+    aabb_hi: jax.Array  # (3,)
+    transform_inv: jax.Array  # (4, 4) world -> index
+    vol_min: jax.Array  # scalar: minorant * density_scale * multiplier
+    vol_maj: jax.Array  # scalar majorant (same scaling)
+    inv_maj: jax.Array  # 1 / vol_maj
+    density_scale: jax.Array  # density_scale * multiplier
+    albedo: jax.Array  # (3,) — 0.9 constant in the reference
+    phase_g: jax.Array  # scalar — 0 in the reference
+    sample_range: jax.Array  # (2,)
+
+
+def world_to_index_point(params: VolumeParams, p):
+    m = params.transform_inv
+    return p @ m[:3, :3].T + m[:3, 3]
+
+
+def world_to_index_dir(params: VolumeParams, d):
+    return d @ params.transform_inv[:3, :3].T
+
+
+# -- raw voxel lookups ---------------------------------------------------------
+
+
+def lookup_density_brick_int(grid: DeviceGrid, iipos):
+    """Decoded density at integer voxel coords (common.glsl:36-43).
+
+    iipos: (..., 3) int32 in (x, y, z) order. OOB taps return 0.0.
+    """
+    inside = jnp.all((iipos >= 0) & (iipos < grid.extent), axis=-1)
+    ip = jnp.clip(iipos, 0, grid.extent - 1)
+    bxc = ip[..., 0] >> 3
+    byc = ip[..., 1] >> 3
+    bzc = ip[..., 2] >> 3
+    lo = grid.range_lo[bzc, byc, bxc]
+    hi = grid.range_hi[bzc, byc, bxc]
+    ptr = grid.ptr[bzc, byc, bxc]  # (..., 3)
+    ax = (ptr[..., 0] << 3) + (ip[..., 0] & 7)
+    ay = (ptr[..., 1] << 3) + (ip[..., 1] & 7)
+    az = (ptr[..., 2] << 3) + (ip[..., 2] & 7)
+    raw = grid.atlas[az, ay, ax].astype(jnp.float32)
+    value = lo + raw * jnp.float32(1.0 / 255.0) * (hi - lo)
+    return jnp.where(inside, value, 0.0)
+
+
+def lookup_majorant(grid: DeviceGrid, params: VolumeParams, ipos, mip):
+    """Scaled brick majorant at a traced mip level (common.glsl:50-53).
+
+    mip: (...,) int32 in [0, 3]. One gather thanks to the stacked pyramid.
+    """
+    ip = jnp.floor(ipos).astype(jnp.int32)
+    ip = jnp.clip(ip, 0, grid.extent - 1)
+    bxc = ip[..., 0] >> 3
+    byc = ip[..., 1] >> 3
+    bzc = ip[..., 2] >> 3
+    return params.density_scale * grid.maj_mips[mip, bzc, byc, bxc]
+
+
+def lookup_density(grid: DeviceGrid, params: VolumeParams, ipos):
+    """Nearest-neighbor scaled density (common.glsl:56-58)."""
+    iipos = jnp.floor(ipos).astype(jnp.int32)
+    return params.density_scale * lookup_density_brick_int(grid, iipos)
+
+
+def lookup_density_trilinear(grid: DeviceGrid, params: VolumeParams, ipos):
+    """Trilinear filtered scaled density (common.glsl:61-69)."""
+    p = ipos - 0.5
+    base = jnp.floor(p).astype(jnp.int32)
+    f = p - base
+    acc = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                tap = lookup_density_brick_int(
+                    grid, base + jnp.array([dx, dy, dz], jnp.int32)
+                )
+                w = (
+                    (f[..., 0] if dx else 1 - f[..., 0])
+                    * (f[..., 1] if dy else 1 - f[..., 1])
+                    * (f[..., 2] if dz else 1 - f[..., 2])
+                )
+                acc = acc + tap * w
+    return params.density_scale * acc
+
+
+def stochastic_tricubic_offsets(ipos, state):
+    """Weighted-reservoir tricubic tap selection (common.glsl:9-32).
+
+    Returns (state, iipos (...,3) int32) — the chosen tap location.
+    """
+    p = ipos - 0.5
+    iipos = jnp.floor(p).astype(jnp.int32)
+    t = p - iipos
+    t2 = t * t
+    t3 = t * t2
+    w0 = (1.0 / 6.0) * (-t3 + 3.0 * t2 - 3.0 * t + 1.0)
+    w1 = (1.0 / 6.0) * (3.0 * t3 - 6.0 * t2 + 4.0)
+    w2 = (1.0 / 6.0) * (-3.0 * t3 + 3.0 * t2 + 3.0 * t + 1.0)
+    w3 = (1.0 / 6.0) * t3
+    sum_w = w0
+    idx = jnp.zeros_like(iipos)
+    for tap, w in ((1, w1), (2, w2), (3, w3)):
+        sum_w = sum_w + w
+        state, r = rng3(state)
+        take = r < w / jnp.maximum(1e-3, sum_w)
+        idx = jnp.where(take, tap, idx)
+    return state, iipos + idx - 1
+
+
+def lookup_density_stochastic(grid: DeviceGrid, params: VolumeParams, ipos, state):
+    """Stochastic tricubic density (common.glsl:71-76)."""
+    state, tap = stochastic_tricubic_offsets(ipos, state)
+    return state, params.density_scale * lookup_density_brick_int(grid, tap)
+
+
+# -- transfer function ---------------------------------------------------------
+
+
+def lookup_transfer(lut: jax.Array, sample_range, density):
+    """NEAREST LUT sample with range rejection (common.glsl:78-83).
+
+    lut: (K, 4). density: (...,) normalized by the majorant. Returns (..., 4).
+    """
+    k = lut.shape[0]
+    rejected = (density < sample_range[0]) | (density > sample_range[1])
+    idx = jnp.clip(jnp.floor(density * k).astype(jnp.int32), 0, k - 1)
+    rgba = lut[idx]
+    return jnp.where(rejected[..., None], 0.0, rgba)

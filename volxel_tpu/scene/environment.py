@@ -1,0 +1,227 @@
+"""Environment lighting: equirect map, importance pyramid, warp sampling.
+
+TPU-native rebuild of representation/environment.ts + shaders/environment.glsl:
+the GPU "fragment-shader compute" importance build (environment.ts:47-58)
+becomes a resize + average-pool mip pyramid; the per-sample hierarchical
+warp (environment.glsl:38-68) is a statically unrolled descent over the
+pyramid, vectorized over all rays with gathers.
+
+Conventions: the stored envmap is in **texture space** — row j corresponds
+to texture v=(j+0.5)/H, where v = 1 - acos(y)/pi (v grows toward +Y / "up").
+Decoded images (row 0 = image top = sky) must be flipped on construction;
+this mirrors the reference's UNPACK_FLIP_Y_WEBGL upload (environment.ts:31).
+
+Faithfully replicated reference quirks (documented, kept for parity):
+  * pdf uses 1/(4*pi) rather than the true equirect solid-angle Jacobian
+    (environment.glsl:80-86)
+  * pdf_environment() scales luma by env_strength while the importance map
+    is built unscaled (environment.glsl:82-86 vs envSetup.frag:24-37)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volxel_tpu.utils.mathutil import LUMA_WEIGHTS, M_PI
+
+# importance map resolution (power of two; environment.ts:9)
+IMP_DIM = 512
+IMP_BASE_MIP = 9  # log2(IMP_DIM)
+
+
+class EnvState(NamedTuple):
+    """Device-side environment: pytree of jnp arrays."""
+
+    envmap: jax.Array  # (H, W, 3) float32, texture space (row 0 = v~0)
+    imp_mips: tuple  # mips[0]=(512,512) ... mips[9]=(1,1) float32
+    strength: jax.Array  # scalar float32
+
+
+def luma(rgb):
+    return (
+        rgb[..., 0] * LUMA_WEIGHTS[0]
+        + rgb[..., 1] * LUMA_WEIGHTS[1]
+        + rgb[..., 2] * LUMA_WEIGHTS[2]
+    )
+
+
+def _avg_pool2(x: jax.Array) -> jax.Array:
+    h, w = x.shape
+    return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+
+def build_env_state(envmap_texture: np.ndarray, strength: float = 1.0) -> EnvState:
+    """Build the importance pyramid from a texture-space (H, W, 3) envmap."""
+    env = jnp.asarray(envmap_texture[..., :3], dtype=jnp.float32)
+    lum = luma(env)
+    base = jax.image.resize(lum, (IMP_DIM, IMP_DIM), method="linear")
+    mips = [base]
+    for _ in range(IMP_BASE_MIP):
+        mips.append(_avg_pool2(mips[-1]))
+    return EnvState(
+        envmap=env,
+        imp_mips=tuple(mips),
+        strength=jnp.float32(strength),
+    )
+
+
+class Environment:
+    """Host-side environment holder (reference Environment class)."""
+
+    def __init__(self, image_top_down: np.ndarray, strength: float = 1.0):
+        # decoded images have row 0 at the top; flip to texture space
+        tex = np.ascontiguousarray(image_top_down[::-1, :, :3], dtype=np.float32)
+        self.texture = tex
+        self.strength = float(strength)
+        self.state = build_env_state(tex, strength)
+
+    def with_strength(self, strength: float) -> "Environment":
+        self.strength = float(strength)
+        self.state = EnvState(
+            envmap=self.state.envmap,
+            imp_mips=self.state.imp_mips,
+            strength=jnp.float32(strength),
+        )
+        return self
+
+
+def default_environment() -> Environment:
+    """8x6 checkerboard with a bright top third (environment.ts:94-120)."""
+    width, height = 8, 6
+    data = np.zeros((height, width, 3), np.float32)
+    for y in range(height):
+        top = y < height // 3
+        for x in range(width):
+            light = ((x + y) & 1) == 0
+            val = (3.0 if light else 0.9) if top else (0.1 if light else 0.0)
+            data[y, x, :] = val
+    return Environment(data)
+
+
+# -- device-side sampling ------------------------------------------------------
+
+
+def _bilinear_wrap_clamp(tex: jax.Array, u, v):
+    """Bilinear sample of (H, W, C) with wrap in u, clamp in v (GL REPEAT/CLAMP)."""
+    h, w = tex.shape[0], tex.shape[1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    t00 = tex[y0i, x0i]
+    t10 = tex[y0i, x1i]
+    t01 = tex[y1i, x0i]
+    t11 = tex[y1i, x1i]
+    return (
+        t00 * (1 - fx) * (1 - fy)
+        + t10 * fx * (1 - fy)
+        + t01 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+
+
+def _dir_to_uv(direction):
+    u = jnp.arctan2(direction[..., 2], direction[..., 0]) / (2.0 * M_PI) + 0.5
+    v = 1.0 - jnp.arccos(jnp.clip(direction[..., 1], -1.0, 1.0)) / M_PI
+    return u, v
+
+
+def lookup_environment(env: EnvState, direction):
+    """Equirect radiance lookup (environment.glsl:19-27)."""
+    u, v = _dir_to_uv(direction)
+    return env.strength * _bilinear_wrap_clamp(env.envmap, u, v)
+
+
+def lookup_environment_light(env: EnvState, direction, light_dir):
+    """Procedural directional-light fallback (environment.glsl:20-22)."""
+    d = jnp.sum(direction * (-light_dir), axis=-1)
+    glow = jnp.clip(jnp.power(jnp.maximum(d, 0.0), 300.0), 0.0, 1.0) * 4.0 + 0.01
+    return env.strength * glow[..., None] * jnp.ones(3, jnp.float32)
+
+
+def sample_environment(env: EnvState, rnd2):
+    """Hierarchical warp sample (environment.glsl:36-80).
+
+    rnd2: (..., 2) uniforms. Returns (Le (...,3), pdf (...), w_i (...,3)).
+    """
+    shape = rnd2.shape[:-1]
+    pos_x = jnp.zeros(shape, jnp.int32)
+    pos_y = jnp.zeros(shape, jnp.int32)
+    px = rnd2[..., 0]
+    py = rnd2[..., 1]
+
+    for mip in range(IMP_BASE_MIP - 1, -1, -1):
+        imp = env.imp_mips[mip]  # (512>>mip, 512>>mip)
+        pos_x = pos_x * 2
+        pos_y = pos_y * 2
+        w00 = imp[pos_y, pos_x]
+        w10 = imp[pos_y, pos_x + 1]
+        w01 = imp[pos_y + 1, pos_x]
+        w11 = imp[pos_y + 1, pos_x + 1]
+        q0 = w00 + w01  # left column
+        q1 = w10 + w11  # right column
+        d = q0 / jnp.maximum(1e-8, q0 + q1)
+        go_right = px >= d
+        px = jnp.where(go_right, (px - d) / jnp.maximum(1e-8, 1.0 - d), px / jnp.maximum(1e-8, d))
+        pos_x = pos_x + go_right.astype(jnp.int32)
+        w_sel_bottom = jnp.where(go_right, w10, w00)
+        q_sel = jnp.where(go_right, q1, q0)
+        e = w_sel_bottom / jnp.maximum(1e-8, q_sel)
+        go_up = py >= e
+        py = jnp.where(go_up, (py - e) / jnp.maximum(1e-8, 1.0 - e), py / jnp.maximum(1e-8, e))
+        pos_y = pos_y + go_up.astype(jnp.int32)
+
+    inv_dim = 1.0 / IMP_DIM
+    uv_x = (pos_x.astype(jnp.float32) + px) * inv_dim
+    uv_y = (pos_y.astype(jnp.float32) + py) * inv_dim
+    theta = jnp.clip(1.0 - uv_y, 0.0, 1.0) * M_PI
+    phi = (jnp.clip(uv_x, 0.0, 1.0) * 2.0 - 1.0) * M_PI
+    sin_t = jnp.sin(theta)
+    w_i = jnp.stack([sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)], axis=-1)
+
+    le = env.strength * _bilinear_wrap_clamp(env.envmap, uv_x, uv_y)
+    avg_w = env.imp_mips[IMP_BASE_MIP][0, 0]
+    pdf = env.imp_mips[0][pos_y, pos_x] / avg_w * jnp.float32(1.0 / (4.0 * M_PI))
+    return le, pdf, w_i
+
+
+def sample_environment_light(env: EnvState, rnd2, light_dir):
+    """Directional-light sampling branch (environment.glsl:30-33)."""
+    shape = rnd2.shape[:-1]
+    w_i = jnp.broadcast_to(-light_dir, shape + (3,))
+    le = jnp.broadcast_to(env.strength * jnp.float32(4.01), shape)
+    return le[..., None] * jnp.ones(3, jnp.float32), jnp.ones(shape, jnp.float32), w_i
+
+
+def pdf_environment(env: EnvState, direction):
+    """environment.glsl:82-86 — strength-scaled luma over mean importance."""
+    le = lookup_environment(env, direction)
+    avg_w = env.imp_mips[IMP_BASE_MIP][0, 0]
+    return luma(le) / avg_w * jnp.float32(1.0 / (4.0 * M_PI))
+
+
+def background_color(env: EnvState, direction, hide_envmap: bool, light_dir=None):
+    """get_background_color (environment.glsl:89-96) for debug-hits mode."""
+    if not hide_envmap:
+        return lookup_environment(env, direction)
+    d = direction
+    horiz = d / jnp.maximum(
+        jnp.linalg.norm(d * jnp.array([1.0, 0.0, 1.0]), axis=-1, keepdims=True), 1e-8
+    )
+    horiz = horiz * jnp.array([1.0, 0.0, 1.0])
+    angle_h = jnp.sum(jnp.array([0.0, 0.0, 1.0]) * horiz, axis=-1) * 0.5 + 0.5
+    angle_h = jnp.where(jnp.round(angle_h * 8.0).astype(jnp.int32) % 2 == 0, 1.0, 0.0)
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    angle_v = jnp.sum(dn * horiz, axis=-1)
+    angle_v = jnp.where(jnp.round(angle_v * 8.0).astype(jnp.int32) % 2 == 0, 0.0, 1.0)
+    return (jnp.abs(angle_h - angle_v) * 0.05)[..., None] * jnp.ones(3, jnp.float32)
