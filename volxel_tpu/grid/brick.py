@@ -147,10 +147,13 @@ def construct_brick_grid(
     histogram: np.ndarray | None = None,
     histogram_gradient: np.ndarray | None = None,
     histogram_gradient_range: tuple[int, int] = (0, 0),
+    use_native: bool | None = None,
 ) -> BrickGrid:
     """Build a BrickGrid from a dense (Z, Y, X) float32 density volume.
 
     Vectorized equivalent of BrickGrid::construct (brick.rs:76-205).
+    use_native: True forces the multithreaded C++ builder, False the numpy
+    path, None (default) picks native when available.
     """
     data = np.ascontiguousarray(data, dtype=np.float32)
     ez, ey, ex = data.shape
@@ -162,6 +165,22 @@ def construct_brick_grid(
     bz = div_round_up(div_round_up(ez, BRICK_SIZE), align) * align
     if bx >= MAX_BRICKS or by >= MAX_BRICKS or bz >= MAX_BRICKS:
         raise ValueError("Exceeded max brick count")
+
+    if use_native is not False:
+        from volxel_tpu.native.loader import native_available
+
+        if native_available():
+            return _construct_native(
+                data,
+                (bx, by, bz),
+                transform,
+                min_maj,
+                histogram,
+                histogram_gradient,
+                histogram_gradient_range,
+            )
+        if use_native:
+            raise RuntimeError("native brick builder unavailable")
 
     # dense volume padded to the full brick extent; OOB reads are 0.0
     full = np.zeros((bz * BRICK_SIZE, by * BRICK_SIZE, bx * BRICK_SIZE), np.float32)
@@ -216,7 +235,68 @@ def construct_brick_grid(
         .reshape(az_bricks * BRICK_SIZE, by * BRICK_SIZE, bx * BRICK_SIZE)
     )
 
-    # range mip pyramid: 2^3 pooling, re-rounded through f16 each level
+    return _assemble(
+        (bx, by, bz),
+        counter,
+        range_lo,
+        range_hi,
+        indirection,
+        atlas,
+        transform,
+        min_maj,
+        histogram,
+        histogram_gradient,
+        histogram_gradient_range,
+    )
+
+
+def _construct_native(
+    data,
+    brick_count,
+    transform,
+    min_maj,
+    histogram,
+    histogram_gradient,
+    histogram_gradient_range,
+) -> BrickGrid:
+    """Multithreaded C++ construction path (volxel_native.cpp)."""
+    from volxel_tpu.native.loader import brick_construct
+
+    bx, by, bz = brick_count
+    range_lo, range_hi, indirection, _occ, atlas, counter = brick_construct(
+        data, bx, by, bz
+    )
+    return _assemble(
+        brick_count,
+        counter,
+        range_lo,
+        range_hi,
+        indirection,
+        atlas,
+        transform,
+        min_maj,
+        histogram,
+        histogram_gradient,
+        histogram_gradient_range,
+    )
+
+
+def _assemble(
+    brick_count,
+    counter,
+    range_lo,
+    range_hi,
+    indirection,
+    atlas,
+    transform,
+    min_maj,
+    histogram,
+    histogram_gradient,
+    histogram_gradient_range,
+) -> BrickGrid:
+    """Shared tail: range mip pyramid (2^3 pooling, f16-rerounded per
+    level, brick.rs:154-190) + metadata."""
+    bx, by, bz = brick_count
     mips: list[tuple[np.ndarray, np.ndarray]] = []
     src_lo, src_hi = range_lo, range_hi
     for _ in range(NUM_MIPMAPS):

@@ -65,6 +65,17 @@ class DicomSeries:
         return smoothed.astype(np.int32), gradmin, gradmax
 
 
+def _scan(px: np.ndarray, bins: int) -> tuple[np.ndarray, int, int]:
+    """One-pass histogram + min/max (native C++ when available)."""
+    from volxel_tpu.native.loader import native_available, scan_u16
+
+    if native_available():
+        hist, lo, hi = scan_u16(px, bins)
+        return hist, lo, hi
+    counts = np.bincount(px.ravel(), minlength=bins).astype(np.uint32)
+    return counts, int(px.min()), int(px.max())
+
+
 def _fold_slices(files: list[DicomFile]) -> DicomSeries:
     slices: list[np.ndarray] = []
     histogram: np.ndarray | None = None
@@ -78,14 +89,14 @@ def _fold_slices(files: list[DicomFile]) -> DicomSeries:
             continue
         px = f.pixel_array()  # (frames, rows, cols)
         bins = 1 << f.bits_stored
-        counts = np.bincount(px.ravel(), minlength=bins).astype(np.uint32)
+        counts, slice_min, slice_max = _scan(px, bins)
         if histogram is None:
             histogram = np.zeros(bins, np.uint32)
         if len(counts) > len(histogram):
             histogram = np.pad(histogram, (0, len(counts) - len(histogram)))
         histogram[: len(counts)] += counts
-        vmin = min(vmin, int(px.min()))
-        vmax = max(vmax, int(px.max()))
+        vmin = min(vmin, slice_min)
+        vmax = max(vmax, slice_max)
         sx, sy = f.pixel_spacing()
         transform = scale_matrix((sx, sy, f.slice_thickness()))
         slices.append(px)

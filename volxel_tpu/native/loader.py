@@ -1,0 +1,161 @@
+"""Build + load the native ingest library (ctypes, no pybind11 in env).
+
+Compiles volxel_native.cpp with g++ on first use (cached next to the
+source; rebuilt when the source is newer). Falls back gracefully: callers
+check native_available() and use the numpy paths otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "volxel_native.cpp"
+_LIB = Path(__file__).parent / "libvolxel_native.so"
+
+_lib = None
+_load_error: str | None = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-pthread",
+        str(_SRC),
+        "-o",
+        str(_LIB),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def get_native():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_LIB))
+        lib.volxel_scan_u16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint16),
+        ]
+        lib.volxel_brick_ranges.restype = ctypes.c_int64
+        lib.volxel_brick_ranges.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            *([ctypes.c_int64] * 6),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.volxel_fill_atlas.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            *([ctypes.c_int64] * 6),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+    except Exception as e:  # build toolchain or load failure
+        _load_error = str(e)
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return get_native() is not None
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def scan_u16(data: np.ndarray, bins: int) -> tuple[np.ndarray, int, int]:
+    """Native histogram + min/max over a uint16 array."""
+    lib = get_native()
+    data = np.ascontiguousarray(data, dtype=np.uint16).ravel()
+    hist = np.zeros(bins, np.uint32)
+    lo = ctypes.c_uint16()
+    hi = ctypes.c_uint16()
+    lib.volxel_scan_u16(
+        _ptr(data, ctypes.c_uint16),
+        data.size,
+        _ptr(hist, ctypes.c_uint32),
+        bins,
+        ctypes.byref(lo),
+        ctypes.byref(hi),
+    )
+    return hist, int(lo.value), int(hi.value)
+
+
+def brick_construct(data: np.ndarray, bx: int, by: int, bz: int):
+    """Native brick construction from a dense (ez, ey, ex) float32 volume.
+
+    Returns (range_lo, range_hi, indirection, occupied, atlas, counter)
+    with the same layout/semantics as grid.brick.construct_brick_grid.
+    """
+    lib = get_native()
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    ez, ey, ex = data.shape
+    nb = bx * by * bz
+    range_lo = np.empty(nb, np.float32)
+    range_hi = np.empty(nb, np.float32)
+    indirection = np.empty(nb * 3, np.int32)
+    occupied = np.empty(nb, np.uint8)
+    counter = lib.volxel_brick_ranges(
+        _ptr(data, ctypes.c_float),
+        ex,
+        ey,
+        ez,
+        bx,
+        by,
+        bz,
+        _ptr(range_lo, ctypes.c_float),
+        _ptr(range_hi, ctypes.c_float),
+        _ptr(indirection, ctypes.c_int32),
+        _ptr(occupied, ctypes.c_uint8),
+    )
+    az_bricks = -(-counter // (bx * by)) if counter else 0
+    az = az_bricks * 8
+    atlas = np.zeros((az, by * 8, bx * 8), np.uint8)
+    if counter:
+        lib.volxel_fill_atlas(
+            _ptr(data, ctypes.c_float),
+            ex,
+            ey,
+            ez,
+            bx,
+            by,
+            bz,
+            _ptr(range_lo, ctypes.c_float),
+            _ptr(range_hi, ctypes.c_float),
+            _ptr(indirection, ctypes.c_int32),
+            _ptr(occupied, ctypes.c_uint8),
+            _ptr(atlas, ctypes.c_uint8),
+            az,
+        )
+    return (
+        range_lo.reshape(bz, by, bx),
+        range_hi.reshape(bz, by, bx),
+        indirection.reshape(bz, by, bx, 3),
+        occupied.reshape(bz, by, bx).astype(bool),
+        atlas,
+        int(counter),
+    )

@@ -1,0 +1,232 @@
+// volxel_native — host-side ingest kernels (C++17, no external deps).
+//
+// Native counterpart of the reference's Rust/WASM preprocessor
+// (dicom_preprocessor/src/{lib,brick}.rs), redesigned:
+//   * one-pass u16 scan: histogram + min/max (lib.rs:87-102 role)
+//   * brick-grid construction (brick.rs:76-205 role): dilated per-brick
+//     min/max, constant-brick elision, bump-allocated atlas, range mips —
+//     multithreaded over brick slabs (the reference serialized this and
+//     left "TODO: this was multithreaded" comments, brick.rs:90,125)
+//
+// Exposed as a C ABI for ctypes. All 3D buffers are z-major (Z, Y, X),
+// matching Buf3D (buf3d.rs:26-28) and the Python side.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int BRICK = 8;
+constexpr int DILATE = 2;
+
+// float32 -> IEEE float16 bits (round-to-nearest-even), then back.
+// Mirrors the f16 round-trip the reference's encode_range performs
+// (brick.rs:19-28 via the `half` crate).
+uint16_t f32_to_f16_bits(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000u;
+  int32_t exp = (int32_t)((x >> 23) & 0xFF) - 127 + 15;
+  uint32_t mant = x & 0x7FFFFFu;
+  if (exp <= 0) {
+    if (exp < -10) return (uint16_t)sign;  // underflow -> signed zero
+    mant |= 0x800000u;
+    uint32_t shift = (uint32_t)(14 - exp);
+    uint32_t half = mant >> shift;
+    uint32_t rem = mant & ((1u << shift) - 1);
+    uint32_t mid = 1u << (shift - 1);
+    if (rem > mid || (rem == mid && (half & 1))) half++;
+    return (uint16_t)(sign | half);
+  }
+  if (exp >= 31) return (uint16_t)(sign | 0x7C00u);  // overflow -> inf
+  uint32_t half = (uint32_t)(exp << 10) | (mant >> 13);
+  uint32_t rem = mant & 0x1FFFu;
+  if (rem > 0x1000u || (rem == 0x1000u && (half & 1))) half++;
+  return (uint16_t)(sign | half);
+}
+
+float f16_bits_to_f32(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t mant = h & 0x3FFu;
+  uint32_t x;
+  if (exp == 0) {
+    if (mant == 0) {
+      x = sign;
+    } else {
+      exp = 127 - 15 + 1;
+      while (!(mant & 0x400u)) {
+        mant <<= 1;
+        exp--;
+      }
+      mant &= 0x3FFu;
+      x = sign | (exp << 23) | (mant << 13);
+    }
+  } else if (exp == 31) {
+    x = sign | 0x7F800000u | (mant << 13);
+  } else {
+    x = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+  }
+  float f;
+  std::memcpy(&f, &x, 4);
+  return f;
+}
+
+float f16_round(float f) { return f16_bits_to_f32(f32_to_f16_bits(f)); }
+
+inline int num_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? (int)n : 1;
+}
+
+template <typename F>
+void parallel_for(int64_t begin, int64_t end, F&& fn) {
+  int threads = std::min<int64_t>(num_threads(), end - begin);
+  if (threads <= 1) {
+    for (int64_t i = begin; i < end; ++i) fn(i);
+    return;
+  }
+  std::atomic<int64_t> next(begin);
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) {
+    pool.emplace_back([&] {
+      for (;;) {
+        int64_t i = next.fetch_add(1);
+        if (i >= end) return;
+        fn(i);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// One-pass u16 pixel scan: accumulate histogram (bins entries) and min/max.
+void volxel_scan_u16(const uint16_t* data, int64_t n, uint32_t* histogram,
+                     int64_t bins, uint16_t* out_min, uint16_t* out_max) {
+  uint16_t lo = 0xFFFF, hi = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint16_t v = data[i];
+    if (v < bins) histogram[v]++;
+    lo = std::min(lo, v);
+    hi = std::max(hi, v);
+  }
+  *out_min = lo;
+  *out_max = hi;
+}
+
+// Brick-grid construction from a dense z-major (ez, ey, ex) float volume.
+//
+// Outputs (caller-allocated):
+//   range_lo / range_hi : (bz*by*bx) float, f16-rounded
+//   indirection         : (bz*by*bx * 3) int32 (x, y, z), zeros if constant
+//   occupied            : (bz*by*bx) uint8 mask
+// Returns the occupied-brick count. Atlas fill is a second pass
+// (volxel_fill_atlas) once the caller has sized the pruned atlas.
+int64_t volxel_brick_ranges(const float* data, int64_t ex, int64_t ey,
+                            int64_t ez, int64_t bx, int64_t by, int64_t bz,
+                            float* range_lo, float* range_hi,
+                            int32_t* indirection, uint8_t* occupied) {
+  auto lookup = [&](int64_t x, int64_t y, int64_t z) -> float {
+    if (x < 0 || y < 0 || z < 0 || x >= ex || y >= ey || z >= ez) return 0.0f;
+    return data[(z * ey + y) * ex + x];
+  };
+
+  parallel_for(0, bz, [&](int64_t cz) {
+    for (int64_t cy = 0; cy < by; ++cy) {
+      for (int64_t cx = 0; cx < bx; ++cx) {
+        float lo = 3.4e38f, hi = -3.4e38f;
+        // dilated window [-2, BRICK+2)^3 (brick.rs:99-112)
+        for (int64_t dz = -DILATE; dz < BRICK + DILATE; ++dz) {
+          int64_t z = cz * BRICK + dz;
+          for (int64_t dy = -DILATE; dy < BRICK + DILATE; ++dy) {
+            int64_t y = cy * BRICK + dy;
+            if (z < 0 || z >= ez || y < 0 || y >= ey) {
+              // whole x-run may still touch in-bounds x; zeros dominate
+              lo = std::min(lo, 0.0f);
+              hi = std::max(hi, 0.0f);
+              continue;
+            }
+            for (int64_t dx = -DILATE; dx < BRICK + DILATE; ++dx) {
+              float v = lookup(cx * BRICK + dx, y, z);
+              lo = std::min(lo, v);
+              hi = std::max(hi, v);
+            }
+          }
+        }
+        int64_t idx = (cz * by + cy) * bx + cx;
+        occupied[idx] = (lo != hi) ? 1 : 0;
+        range_lo[idx] = f16_round(lo);
+        range_hi[idx] = f16_round(hi);
+      }
+    }
+  });
+
+  // bump allocation in z-major scan order (brick.rs:131-134) — sequential
+  // prefix pass (cheap relative to the window scan)
+  int64_t counter = 0;
+  for (int64_t i = 0; i < bz * by * bx; ++i) {
+    if (occupied[i]) {
+      int64_t slot = counter++;
+      indirection[i * 3 + 0] = (int32_t)(slot % bx);
+      indirection[i * 3 + 1] = (int32_t)((slot / bx) % by);
+      indirection[i * 3 + 2] = (int32_t)(slot / (bx * by));
+    } else {
+      indirection[i * 3 + 0] = indirection[i * 3 + 1] = indirection[i * 3 + 2] = 0;
+    }
+  }
+  return counter;
+}
+
+// Fill the pruned atlas (az, by*8, bx*8) with u8-encoded voxels
+// (brick.rs:137-145): quantized against the decoded f16 ranges.
+void volxel_fill_atlas(const float* data, int64_t ex, int64_t ey, int64_t ez,
+                       int64_t bx, int64_t by, int64_t bz,
+                       const float* range_lo, const float* range_hi,
+                       const int32_t* indirection, const uint8_t* occupied,
+                       uint8_t* atlas, int64_t az) {
+  const int64_t ax = bx * BRICK, ay = by * BRICK;
+  (void)az;
+  auto lookup = [&](int64_t x, int64_t y, int64_t z) -> float {
+    if (x < 0 || y < 0 || z < 0 || x >= ex || y >= ey || z >= ez) return 0.0f;
+    return data[(z * ey + y) * ex + x];
+  };
+
+  parallel_for(0, bz, [&](int64_t cz) {
+    for (int64_t cy = 0; cy < by; ++cy) {
+      for (int64_t cx = 0; cx < bx; ++cx) {
+        int64_t idx = (cz * by + cy) * bx + cx;
+        if (!occupied[idx]) continue;
+        float lo = range_lo[idx], hi = range_hi[idx];
+        float width = hi - lo;
+        float inv = width > 0 ? 1.0f / width : 0.0f;
+        int64_t px = (int64_t)indirection[idx * 3 + 0] * BRICK;
+        int64_t py = (int64_t)indirection[idx * 3 + 1] * BRICK;
+        int64_t pz = (int64_t)indirection[idx * 3 + 2] * BRICK;
+        for (int64_t dz = 0; dz < BRICK; ++dz) {
+          for (int64_t dy = 0; dy < BRICK; ++dy) {
+            for (int64_t dx = 0; dx < BRICK; ++dx) {
+              float v = lookup(cx * BRICK + dx, cy * BRICK + dy, cz * BRICK + dz);
+              float norm = (v - lo) * inv;
+              norm = std::min(1.0f, std::max(0.0f, norm));
+              if (width <= 0) norm = 0.0f;
+              atlas[((pz + dz) * ay + (py + dy)) * ax + (px + dx)] =
+                  (uint8_t)std::lround(255.0f * norm);
+            }
+          }
+        }
+      }
+    }
+  });
+}
+
+}  // extern "C"
