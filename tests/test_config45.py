@@ -1,0 +1,119 @@
+"""Configs 4 & 5: gradient shading, sharded brick ranges, multiview, 4D."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from volxel_tpu import Renderer
+from volxel_tpu.grid import construct_brick_grid, decode_range, encode_range
+from volxel_tpu.grid.brick import _dilated_brick_minmax
+from volxel_tpu.parallel import make_mesh
+from volxel_tpu.parallel.multiview import render_views, sharded_multiview_fn
+from volxel_tpu.parallel.slab import brick_ranges_sharded
+from volxel_tpu.api.timeseries import TimeSeriesPlayer
+from volxel_tpu.utils.fixtures import synthetic_ct_volume
+
+
+@pytest.fixture(scope="module")
+def grid():
+    vol = synthetic_ct_volume((24, 24, 24), bits_stored=12)
+    return construct_brick_grid(
+        vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
+    )
+
+
+@pytest.fixture(scope="module")
+def renderer(grid):
+    r = Renderer(width=32, height=32)
+    r.restart_from_grid(grid)
+    r.camera.rotate_around_view(0.5, 0.3)
+    r.camera.zoom(2.0)
+    return r
+
+
+def test_gradient_shading_renders(renderer):
+    renderer.settings.gradient_shading = True
+    renderer.restart_rendering()
+    renderer.render_frame()
+    img = renderer.raw_image()
+    renderer.settings.gradient_shading = False
+    assert np.isfinite(img).all()
+    assert img.std() > 0.01  # shading produces structure
+    # surface shading differs from the path-traced result
+    renderer.restart_rendering()
+    renderer.render_frame()
+    pt = renderer.raw_image()
+    assert not np.allclose(img, pt)
+
+
+def test_brick_ranges_sharded_matches_host():
+    vol = synthetic_ct_volume((20, 24, 28), bits_stored=12).astype(np.float32)
+    vol /= vol.max()
+    mesh = make_mesh(sp=1, px=8)
+    lo, hi, (bx, by, bz) = brick_ranges_sharded(vol, mesh, axis="px")
+    assert lo.shape == (bz, by, bx)
+
+    # host reference: same dilated window over the aligned extent
+    full = np.zeros((bz * 8, by * 8, bx * 8), np.float32)
+    ez, ey, ex = vol.shape
+    full[:ez, :ey, :ex] = vol
+    padded = np.pad(full, 2)
+    exp_lo, exp_hi = _dilated_brick_minmax(padded)
+    np.testing.assert_allclose(lo, exp_lo, atol=0)
+    np.testing.assert_allclose(hi, exp_hi, atol=0)
+
+
+def test_multiview_matches_sequential(renderer):
+    config = renderer._config()
+    n_views = 4
+    cams = []
+    for i in range(n_views):
+        renderer.camera.rotate_around_view(0.3, 0.0)
+        inv_view = np.linalg.inv(renderer.camera.view_matrix()).astype(np.float32)
+        inv_proj = np.linalg.inv(renderer.camera.proj_matrix(1.0)).astype(np.float32)
+        cams.append((inv_view, inv_proj))
+    inv_views = jnp.asarray(np.stack([c[0] for c in cams]))
+    inv_projs = jnp.asarray(np.stack([c[1] for c in cams]))
+    operands = (
+        renderer._device_grid,
+        renderer.volume_params(),
+        renderer._lut,
+        renderer.environment.state,
+    )
+    light = jnp.asarray(renderer.settings.light_dir, jnp.float32)
+
+    batched = np.asarray(
+        render_views(config, *operands, inv_views, inv_projs, light, jnp.uint32(2))
+    )
+    assert batched.shape == (n_views, 32 * 32, 3)
+    assert np.isfinite(batched).all()
+    # views are distinct
+    assert not np.allclose(batched[0], batched[1])
+
+    # sharded version matches the single-chip vmap exactly
+    mesh = make_mesh(sp=2, px=4)
+    fn = sharded_multiview_fn(config, mesh, n_views)
+    sharded = np.asarray(
+        fn(*operands, inv_views, inv_projs, light, jnp.uint32(2))
+    )
+    np.testing.assert_allclose(sharded, batched, atol=1e-5, rtol=1e-5)
+
+
+def test_timeseries_playback(grid):
+    base = synthetic_ct_volume((16, 16, 16), bits_stored=12).astype(np.float32) / 4095.0
+    # densities change materially across time (a "beating" phantom)
+    vols = np.stack([base * (1.0 - 0.3 * t) for t in range(3)])
+    r = Renderer(width=16, height=16)
+    r.restart_from_grid(construct_brick_grid(vols[0]))
+    r.camera.zoom(2.0)
+    player = TimeSeriesPlayer(r, vols)
+    assert len(player) == 3
+    frames = list(player.play(samples_per_step=2))
+    assert len(frames) == 3
+    for t, img in frames:
+        assert img.shape == (16, 16, 3)
+        assert np.isfinite(img).all()
+    # different timesteps give different images
+    assert not np.allclose(frames[0][1], frames[1][1])
+    player.evict(0)
+    assert 0 not in player._device_cache

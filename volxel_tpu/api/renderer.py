@@ -158,6 +158,7 @@ class Renderer:
             show_environment=bool(self.settings.show_environment),
             use_env=bool(self.settings.use_env),
             debug_hits=bool(self.settings.debug_hits),
+            gradient_shading=bool(self.settings.gradient_shading),
         )
 
     def volume_params(self) -> VolumeParams:

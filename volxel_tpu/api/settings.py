@@ -48,6 +48,9 @@ class ViewerSettings:
     sample_range: list = field(default_factory=lambda: [0.0, 1.0])
     render_mode: str = "default"
     resolution_factor: float = 1.0
+    # extension beyond the reference (BASELINE config 4): first-hit
+    # central-difference gradient Blinn-Phong shading
+    gradient_shading: bool = False
 
     def to_json_dict(self) -> dict:
         """camelCase dict matching the reference ViewerSettings shape."""

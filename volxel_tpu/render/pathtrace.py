@@ -55,6 +55,7 @@ class RenderConfig(NamedTuple):
     use_env: bool = True
     debug_hits: bool = False
     hide_envmap: bool = False
+    gradient_shading: bool = False  # config 4: first-hit Blinn-Phong
 
 
 def trace_path(
@@ -218,6 +219,14 @@ def render_pixels(
 
     if config.debug_hits:
         return _debug_hits(config, params, env, light_dir, rays.origin, rays.direction)
+
+    if config.gradient_shading:
+        from volxel_tpu.render.shading import trace_shaded
+
+        state, shaded = trace_shaded(
+            config, grid, params, lut, env, light_dir, rays.origin, rays.direction, state
+        )
+        return shaded
 
     state, radiance = trace_path(
         config,
