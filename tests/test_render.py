@@ -150,6 +150,45 @@ def test_reference_benchmark_settings_render(grid):
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_dense_fetch_matches_brick_path(grid):
+    """Pre-decoded dense field == brick indirection path (bf16 tolerance)."""
+    from volxel_tpu.render.sampling import device_grid_from_brick
+
+    r = _renderer(grid, size=24, bounces=2)
+    imgs = {}
+    for label, dense in (("brick", False), ("dense", True)):
+        r._device_grid = device_grid_from_brick(grid, dense=dense)
+        r.restart_rendering()
+        for _ in range(16):
+            r.render_frame()
+        imgs[label] = r.raw_image()
+    scale = np.abs(imgs["brick"]).mean() + 1e-9
+    assert np.abs(imgs["dense"] - imgs["brick"]).mean() / scale < 0.02
+
+
+def test_chunked_wavefront_matches_unchunked(grid):
+    """lax.map chunking is a pure scheduling change — bit-identical."""
+    from volxel_tpu.render.pathtrace import render_sample
+    import jax.numpy as jnp
+
+    r = _renderer(grid, size=16, bounces=2)
+    operands = (
+        r._device_grid,
+        r.volume_params(),
+        r._lut,
+        r.environment.state,
+        jnp.asarray(np.linalg.inv(r.camera.view_matrix())),
+        jnp.asarray(np.linalg.inv(r.camera.proj_matrix(1.0))),
+        jnp.asarray(r.settings.light_dir, jnp.float32),
+        jnp.uint32(0),
+    )
+    full = np.asarray(render_sample(r._config(), *operands))
+    chunked = np.asarray(
+        render_sample(r._config()._replace(chunk_size=64), *operands)
+    )
+    np.testing.assert_allclose(chunked, full, atol=1e-6)
+
+
 def test_tonemap_hable():
     img = jnp.asarray([[0.0, 0.5, 2.0]], jnp.float32)
     out = np.asarray(tonemap(img, jnp.float32(1.0), jnp.float32(2.2)))

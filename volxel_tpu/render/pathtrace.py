@@ -56,6 +56,11 @@ class RenderConfig(NamedTuple):
     debug_hits: bool = False
     hide_envmap: bool = False
     gradient_shading: bool = False  # config 4: first-hit Blinn-Phong
+    # wavefront chunking: the traversal while_loops run until EVERY lane
+    # finishes, so one worst-case ray stalls the whole wavefront. Chunking
+    # lax.maps the trace over coherent pixel blocks, letting each block
+    # exit at its local maximum instead. None = single wavefront.
+    chunk_size: int | None = None
 
 
 def trace_path(
@@ -223,23 +228,38 @@ def render_pixels(
     if config.gradient_shading:
         from volxel_tpu.render.shading import trace_shaded
 
-        state, shaded = trace_shaded(
-            config, grid, params, lut, env, light_dir, rays.origin, rays.direction, state
-        )
-        return shaded
+        def shade(origin, direction, st):
+            st, out = trace_shaded(
+                config, grid, params, lut, env, light_dir, origin, direction, st
+            )
+            return out
 
-    state, radiance = trace_path(
-        config,
-        grid,
-        params,
-        lut,
-        env,
-        light_dir,
-        rays.origin,
-        rays.direction,
-        state,
-    )
-    return sanitize(radiance)
+        trace = shade
+    else:
+
+        def trace(origin, direction, st):
+            st, radiance = trace_path(
+                config, grid, params, lut, env, light_dir, origin, direction, st
+            )
+            return sanitize(radiance)
+
+    n = pixel_index.shape[0]
+    if config.chunk_size is not None and n % config.chunk_size == 0 and n > config.chunk_size:
+        chunks = n // config.chunk_size
+
+        def one_chunk(args):
+            origin, direction, st = args
+            return trace(origin, direction, st)
+
+        return jax.lax.map(
+            one_chunk,
+            (
+                rays.origin.reshape(chunks, config.chunk_size, 3),
+                rays.direction.reshape(chunks, config.chunk_size, 3),
+                state.reshape(chunks, config.chunk_size, 4),
+            ),
+        ).reshape(n, 3)
+    return trace(rays.origin, rays.direction, state)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -278,6 +298,23 @@ def render_sample(
 def accumulate(previous, sample, sample_weight):
     """Progressive running average (fragment.frag:158, viewer.ts:1356)."""
     return sample_weight * previous + (1.0 - sample_weight) * sample
+
+
+WARMUP_SAMPLES = 5  # lowResolutionDuration (viewer.ts:132)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def accumulate_progressive(previous, sample, frame_index):
+    """Fold one sample into the accumulator with the reference's warm-up
+    weighting (viewer.ts:1356), computed on-device: frames < WARMUP get
+    weight 0 (overwrite), later frames form a running average."""
+    f = frame_index.astype(jnp.float32)
+    w = jnp.where(
+        f < WARMUP_SAMPLES,
+        0.0,
+        (f - WARMUP_SAMPLES) / (f - WARMUP_SAMPLES + 1.0),
+    )
+    return w * previous + (1.0 - w) * sample
 
 
 @functools.partial(jax.jit, static_argnums=())

@@ -27,7 +27,17 @@ from volxel_tpu.render.rng import rng3
 
 
 class DeviceGrid(NamedTuple):
-    """Brick grid resident in HBM."""
+    """Brick grid resident in HBM.
+
+    `dense`, when present, is the atlas pre-decoded to a flat (Z, Y, X)
+    bfloat16 field: a TPU-first trade (HBM is plentiful; the browser
+    renderer's indirection exists to fit GPU memory) that turns the
+    4-array gather chain of a voxel read (range_lo, range_hi, ptr, atlas —
+    common.glsl:36-43) into ONE gather. Values are decoded from the
+    quantized atlas, so images match the brick path up to bf16 rounding
+    (~the same magnitude as the u8 quantization itself). Majorant queries
+    still use the brick range pyramid.
+    """
 
     atlas: jax.Array  # (az, ay, ax) uint8
     range_lo: jax.Array  # (bz, by, bx) float32
@@ -36,18 +46,63 @@ class DeviceGrid(NamedTuple):
     # all mip levels upsampled to finest brick resolution:
     maj_mips: jax.Array  # (4, bz, by, bx) float32 — level 0 = range_hi
     extent: jax.Array  # (3,) int32 (x, y, z) index extent
+    dense: jax.Array | None = None  # (Z, Y, X) bfloat16 decoded density
+
+
+# dense fields are built for volumes up to this many bytes (bf16)
+DENSE_BUDGET_BYTES = 2 << 30
 
 
 def _upsample_nearest(arr: np.ndarray, factor: int) -> np.ndarray:
     return np.repeat(np.repeat(np.repeat(arr, factor, 0), factor, 1), factor, 2)
 
 
-def device_grid_from_brick(grid: BrickGrid) -> DeviceGrid:
+def decode_dense(grid: BrickGrid, dtype=np.float32) -> np.ndarray:
+    """Decode the full brick grid to a dense (Z, Y, X) field (host side)."""
+    bx, by, bz = grid.brick_count
+    az_b = grid.atlas.shape[0] // 8 if grid.atlas.shape[0] else 0
+    # atlas -> per-slot bricks
+    atlas_bricks = (
+        grid.atlas.reshape(az_b, 8, by, 8, bx, 8)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(az_b * by * bx, 8, 8, 8)
+        .astype(np.float32)
+        if az_b
+        else np.zeros((0, 8, 8, 8), np.float32)
+    )
+    ptr = grid.indirection.reshape(-1, 3).astype(np.int64)
+    slot = ptr[:, 2] * (by * bx) + ptr[:, 1] * bx + ptr[:, 0]
+    occupied = (grid.range_lo != grid.range_hi).ravel()
+    lo = grid.range_lo.reshape(-1, 1, 1, 1)
+    hi = grid.range_hi.reshape(-1, 1, 1, 1)
+    voxels = np.where(
+        occupied[:, None, None, None],
+        atlas_bricks[np.minimum(slot, max(len(atlas_bricks) - 1, 0))],
+        0.0,
+    )
+    decoded = lo + voxels * np.float32(1.0 / 255.0) * (hi - lo)
+    dense = (
+        decoded.reshape(bz, by, bx, 8, 8, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(bz * 8, by * 8, bx * 8)
+    )
+    return dense.astype(dtype)
+
+
+def device_grid_from_brick(grid: BrickGrid, dense: bool | None = None) -> DeviceGrid:
+    """Upload a BrickGrid. dense: True/False force, None = auto by budget."""
     bx, by, bz = grid.brick_count
     mips = [grid.range_hi]
     for level, (_, hi) in enumerate(grid.range_mips):
         mips.append(_upsample_nearest(hi, 1 << (level + 1)))
     maj = np.stack(mips, axis=0).astype(np.float32)
+
+    n_voxels = (bx * by * bz) * 512
+    if dense is None:
+        dense = n_voxels * 2 <= DENSE_BUDGET_BYTES
+    dense_field = (
+        jnp.asarray(decode_dense(grid), dtype=jnp.bfloat16) if dense else None
+    )
     return DeviceGrid(
         atlas=jnp.asarray(grid.atlas),
         range_lo=jnp.asarray(grid.range_lo),
@@ -55,6 +110,7 @@ def device_grid_from_brick(grid: BrickGrid) -> DeviceGrid:
         ptr=jnp.asarray(grid.indirection),
         maj_mips=jnp.asarray(maj),
         extent=jnp.asarray(np.array(grid.index_extent, np.int32)),
+        dense=dense_field,
     )
 
 
@@ -89,9 +145,13 @@ def lookup_density_brick_int(grid: DeviceGrid, iipos):
     """Decoded density at integer voxel coords (common.glsl:36-43).
 
     iipos: (..., 3) int32 in (x, y, z) order. OOB taps return 0.0.
+    Uses the pre-decoded dense field (one gather) when present.
     """
     inside = jnp.all((iipos >= 0) & (iipos < grid.extent), axis=-1)
     ip = jnp.clip(iipos, 0, grid.extent - 1)
+    if grid.dense is not None:
+        value = grid.dense[ip[..., 2], ip[..., 1], ip[..., 0]].astype(jnp.float32)
+        return jnp.where(inside, value, 0.0)
     bxc = ip[..., 0] >> 3
     byc = ip[..., 1] >> 3
     bzc = ip[..., 2] >> 3
