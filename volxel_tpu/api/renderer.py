@@ -72,10 +72,33 @@ class Renderer:
         self._framebuffer = jnp.zeros((self.height * self.width, 3), jnp.float32)
         self._cached_operands = None
 
+        # error handling (viewer.ts:797-821): a failed load suspends
+        # rendering and gates further restarts until cleared
+        self.errored: bool = False
+        self.last_error: Exception | None = None
+        self.suspend: bool = False
+        # clip-overlay interaction state for image(show_clipping=True)
+        self.show_clipping: bool = True
+        self.clip_controller = None  # created lazily on first use
+
     # -- volume loading (viewer.ts:963-1017, 1080-1145) ------------------------
+
+    def handle_error(self, error: Exception) -> None:
+        """Central error sink: suspend rendering, keep the error
+        (reference handleError, viewer.ts:797-821)."""
+        self.errored = True
+        self.last_error = error
+        self.suspend = True
+
+    def clear_error(self) -> None:
+        self.errored = False
+        self.last_error = None
+        self.suspend = False
 
     def restart_from_grid(self, grid: BrickGrid) -> None:
         """setupFromGrid: reset clip/scale, unit-cube rescale, upload."""
+        if self.errored:
+            return  # restarts are gated while errored (viewer.ts:1156)
         self.grid = grid
         self.density_scale = 1.0
         self.settings.volume_clip_min = [0.0, 0.0, 0.0]
@@ -86,10 +109,18 @@ class Renderer:
         self.restart_rendering()
 
     def restart_from_files(self, sources: list) -> None:
-        self.restart_from_grid(read_dicoms_to_grid(sources))
+        try:
+            self.restart_from_grid(read_dicoms_to_grid(sources))
+        except Exception as e:
+            self.handle_error(e)
+            raise
 
     def restart_from_zip(self, source) -> None:
-        self.restart_from_grid(read_zip_to_grid(source))
+        try:
+            self.restart_from_grid(read_zip_to_grid(source))
+        except Exception as e:
+            self.handle_error(e)
+            raise
 
     # -- environment (viewer.ts:1019-1040, 1074-1078) --------------------------
 
@@ -222,6 +253,12 @@ class Renderer:
         """
         if self._device_grid is None:
             raise RuntimeError("No volume loaded")
+        if self.errored:
+            raise RuntimeError(
+                "Renderer is in an error state (clear_error() to resume)"
+            ) from self.last_error
+        if self.suspend:
+            return self._framebuffer
         config = self._config()
         n = config.width * config.height
         if self._framebuffer.shape[0] != n:
@@ -260,8 +297,13 @@ class Renderer:
             self.render_frame()
         return self.image()
 
-    def image(self) -> np.ndarray:
-        """Tonemapped (height, width, 3) float32 image, row 0 = top."""
+    def image(self, show_clipping: bool = False) -> np.ndarray:
+        """Tonemapped (height, width, 3) float32 image, row 0 = top.
+
+        show_clipping overlays the clip-box wireframe with the hovered/
+        held face highlighted (the reference's clipping cube pass,
+        viewer.ts:1267-1288).
+        """
         config = self._config()
         img = tonemap(
             self._framebuffer,
@@ -269,7 +311,31 @@ class Renderer:
             jnp.float32(self.settings.gamma),
         )
         img = np.asarray(img).reshape(config.height, config.width, 3)
-        return img[::-1]  # GL row 0 is the bottom
+        img = img[::-1]  # GL row 0 is the bottom
+        if show_clipping and self.volume is not None:
+            from volxel_tpu.utils.overlay import draw_clip_box
+
+            lo, hi = self.volume.aabb_clipped(
+                self.settings.volume_clip_min, self.settings.volume_clip_max
+            )
+            ctl = self.clip_controller
+            img = draw_clip_box(
+                img,
+                lo,
+                hi,
+                self.camera.view_matrix(),
+                self.camera.proj_matrix(config.width / config.height),
+                selected_face=getattr(ctl, "_last_face", None) if ctl else None,
+                adjusting=getattr(ctl, "adjusting", False) if ctl else False,
+            )
+        return img
+
+    def make_clip_controller(self):
+        """Attach and return a ClipBoxController for interactive editing."""
+        from volxel_tpu.scene.interaction import ClipBoxController
+
+        self.clip_controller = ClipBoxController(self)
+        return self.clip_controller
 
     def raw_image(self) -> np.ndarray:
         """Linear accumulated radiance, (height, width, 3), row 0 = top."""
