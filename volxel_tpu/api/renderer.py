@@ -290,11 +290,42 @@ class Renderer:
         self.frame_index += 1
         return self._framebuffer
 
-    def render(self, samples: int | None = None):
-        """Run the progressive loop for `samples` frames (or maxSamples)."""
+    def render(self, samples: int | None = None, batch: int = 16):
+        """Render `samples` progressive frames (or maxSamples) and return
+        the tonemapped image.
+
+        Converged-image semantics match the per-frame loop exactly: the
+        reference's warm-up weighting (viewer.ts:1356) telescopes to the
+        plain mean of samples [5, N), so batches of samples are rendered
+        in single dispatches (render_sample_batch) and mean-combined
+        on-device — dispatch count drops by ~batch x.
+        """
+        from volxel_tpu.render.pathtrace import WARMUP_SAMPLES, render_sample_batch
+
         total = samples if samples is not None else self.settings.max_samples
-        for _ in range(total):
+        if total <= WARMUP_SAMPLES + 1:
+            for _ in range(total):
+                self.render_frame()
+            return self.image()
+
+        # prime operand cache (and shape-check the accumulator)
+        if self._cached_operands is None:
             self.render_frame()
+            self.frame_index = 0
+        operands = self._cached_operands
+
+        first = WARMUP_SAMPLES
+        count = 0
+        buffer = self._framebuffer
+        f = first
+        while f < total:
+            k = min(batch, total - f)
+            mean_k = render_sample_batch(k, *operands, jnp.uint32(f))
+            buffer = (count * buffer + k * mean_k) / (count + k)
+            count += k
+            f += k
+        self._framebuffer = buffer
+        self.frame_index = total
         return self.image()
 
     def image(self, show_clipping: bool = False) -> np.ndarray:

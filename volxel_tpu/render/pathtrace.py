@@ -295,6 +295,49 @@ def render_sample(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def render_sample_batch(
+    n_samples: int,
+    config: RenderConfig,
+    grid: DeviceGrid,
+    params: VolumeParams,
+    lut,
+    env: EnvState,
+    inv_view,
+    inv_proj,
+    light_dir,
+    frame_index,
+):
+    """Render n_samples consecutive progressive samples in ONE dispatch,
+    returning their on-device mean -> (height*width, 3).
+
+    Dispatch amortization for the progressive loop: per-frame host
+    round-trips dominate once a sample costs ~0.3 ms. Results are
+    bit-compatible with averaging n_samples single calls (same per-sample
+    RNG streams keyed by frame_index + i).
+    """
+    n = config.width * config.height
+    pixel_index = jnp.arange(n, dtype=jnp.uint32)
+
+    def body(i, acc):
+        s = render_pixels(
+            config,
+            grid,
+            params,
+            lut,
+            env,
+            inv_view,
+            inv_proj,
+            light_dir,
+            pixel_index,
+            frame_index + i.astype(jnp.uint32),
+        )
+        return acc + s
+
+    total = jax.lax.fori_loop(0, n_samples, body, jnp.zeros((n, 3), jnp.float32))
+    return total / n_samples
+
+
 def accumulate(previous, sample, sample_weight):
     """Progressive running average (fragment.frag:158, viewer.ts:1356)."""
     return sample_weight * previous + (1.0 - sample_weight) * sample
