@@ -335,11 +335,11 @@ class Renderer:
         held face highlighted (the reference's clipping cube pass,
         viewer.ts:1267-1288).
         """
+        from volxel_tpu.render.pallas_ops import tonemap_display
+
         config = self._config()
-        img = tonemap(
-            self._framebuffer,
-            jnp.float32(self.settings.exposure),
-            jnp.float32(self.settings.gamma),
+        img = tonemap_display(
+            self._framebuffer, self.settings.exposure, self.settings.gamma
         )
         img = np.asarray(img).reshape(config.height, config.width, 3)
         img = img[::-1]  # GL row 0 is the bottom

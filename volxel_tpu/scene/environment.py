@@ -55,16 +55,20 @@ def _avg_pool2(x: jax.Array) -> jax.Array:
 
 
 def build_env_state(envmap_texture: np.ndarray, strength: float = 1.0) -> EnvState:
-    """Build the importance pyramid from a texture-space (H, W, 3) envmap."""
+    """Build the importance pyramid from a texture-space (H, W, 3) envmap.
+
+    On TPU the 9 pooled levels come from one Pallas MXU kernel
+    (render/pallas_ops.py); elsewhere from successive XLA mean pools.
+    """
+    from volxel_tpu.render.pallas_ops import build_importance_pyramid
+
     env = jnp.asarray(envmap_texture[..., :3], dtype=jnp.float32)
     lum = luma(env)
     base = jax.image.resize(lum, (IMP_DIM, IMP_DIM), method="linear")
-    mips = [base]
-    for _ in range(IMP_BASE_MIP):
-        mips.append(_avg_pool2(mips[-1]))
+    mips = (base,) + tuple(build_importance_pyramid(base))
     return EnvState(
         envmap=env,
-        imp_mips=tuple(mips),
+        imp_mips=mips,
         strength=jnp.float32(strength),
     )
 
