@@ -129,8 +129,13 @@ def cmd_benchmark(args) -> None:
     r = Renderer(width=w, height=h)
     base = Path(args.spec).parent
 
-    def load_resource(name: str) -> bytes:
-        return (base / name).read_bytes()
+    def load_resource(name: str) -> bytes | None:
+        p = base / name
+        if not p.exists():
+            print(f"warning: resource {name} not found, keeping current scene",
+                  file=sys.stderr)
+            return None
+        return p.read_bytes()
 
     if args.synthetic:
         _load_volume(args, r)

@@ -85,9 +85,13 @@ def run_benchmark_collection(
     results = []
     for entry in spec.get("benchmarks", []):
         if entry.get("zip") and load_zip is not None:
-            renderer.restart_from_zip(load_zip(entry["zip"]))
+            data = load_zip(entry["zip"])
+            if data is not None:
+                renderer.restart_from_zip(data)
         if entry.get("env") and load_env is not None:
-            renderer.load_env(load_env(entry["env"]))
+            data = load_env(entry["env"])
+            if data is not None:
+                renderer.load_env(data)
         settings = entry["settings"]
         if isinstance(settings, int):
             settings = spec["sharedSettings"][settings]
