@@ -174,3 +174,54 @@ def test_profiling_utils():
     stats = frame_stats([0.001, 0.002, 0.003])
     assert stats["frames"] == 3
     assert stats["median_ms"] == pytest.approx(2.0)
+
+
+def test_from_attributes_and_transfer_file(volume, tmp_path):
+    zip_path = tmp_path / "scan.zip"
+    zip_path.write_bytes(write_dicom_zip(volume, bits_stored=12))
+    settings_path = tmp_path / "settings.json"
+    r0 = Renderer(width=8, height=8)
+    r0.settings.bounces = 2
+    import json
+
+    settings_path.write_text(json.dumps(r0.export_settings()))
+    env_path = tmp_path / "sky.hdr"
+    env_path.write_bytes(synthetic_env_hdr(16, 8))
+
+    r = Renderer.from_attributes(
+        width=8,
+        height=8,
+        zip_path=zip_path,
+        settings_path=settings_path,
+        env_path=env_path,
+        render_mode="raymarch",
+    )
+    assert r.render_mode == "raymarch"
+    assert r.settings.bounces == 2
+    assert r.grid is not None
+    r.render_frame()
+
+    r.load_transfer_function("0 0 0 0\n1 0.5 0.2 1\n")
+    assert r._transfer_type == "full"
+    assert len(r._transfer_colors) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        r.load_transfer_function("no rows here")
+
+
+def test_timeseries_from_zips(volume):
+    from volxel_tpu.api.timeseries import TimeSeriesPlayer
+
+    zips = [write_dicom_zip(volume, bits_stored=12) for _ in range(2)]
+    r = Renderer(width=8, height=8)
+    r.restart_from_grid(
+        construct_brick_grid(
+            volume.astype(np.float32) / volume.max(),
+            transform=np.eye(4, dtype=np.float32),
+        )
+    )
+    player = TimeSeriesPlayer.from_zips(r, zips)
+    assert len(player) == 2
+    frames = list(player.play(samples_per_step=1))
+    assert len(frames) == 2

@@ -81,6 +81,39 @@ class Renderer:
         self.show_clipping: bool = True
         self.clip_controller = None  # created lazily on first use
 
+    @classmethod
+    def from_attributes(
+        cls,
+        width: int = 1920,
+        height: int = 1080,
+        zip_path=None,
+        files_dir=None,
+        settings_path=None,
+        env_path=None,
+        render_mode: str | None = None,
+    ) -> "Renderer":
+        """Declarative construction — the embed-attribute contract
+        (data-zip-url / data-urls / data-settings-url / data-env-url /
+        data-render-mode, viewer.ts:112, index.html:24-33), with local
+        paths in place of URLs."""
+        from pathlib import Path
+
+        r = cls(width=width, height=height)
+        if zip_path is not None:
+            r.restart_from_zip(Path(zip_path).read_bytes())
+        elif files_dir is not None:
+            paths = sorted(p for p in Path(files_dir).iterdir() if p.is_file())
+            r.restart_from_files(paths)
+        if env_path is not None:
+            r.load_env(Path(env_path).read_bytes())
+        if settings_path is not None:
+            from volxel_tpu.api.settings import load_settings
+
+            r.restore_settings(load_settings(Path(settings_path)))
+        if render_mode is not None:
+            r.render_mode = render_mode
+        return r
+
     # -- volume loading (viewer.ts:963-1017, 1080-1145) ------------------------
 
     def handle_error(self, error: Exception) -> None:
@@ -157,6 +190,15 @@ class Renderer:
         self._transfer_type = "full"
         self._lut = jnp.asarray(np.asarray(rgba_rows, dtype=np.float32))
         self.restart_rendering()
+
+    def load_transfer_function(self, text: str) -> None:
+        """Load an `r g b density` text transfer function (data.ts:5-14)."""
+        from volxel_tpu.transfer.function import parse_transfer_function
+
+        rows = parse_transfer_function(text)
+        if not rows:
+            raise ValueError("No transfer function rows parsed")
+        self.set_transfer_full(rows)
 
     # -- render mode (viewer.ts:1442-1452) --------------------------------------
 

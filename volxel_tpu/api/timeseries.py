@@ -28,6 +28,14 @@ class TimeSeriesPlayer:
             raise ValueError("empty time series")
         self._device_cache: dict[int, object] = {}
 
+    @classmethod
+    def from_zips(cls, renderer, zip_sources: list) -> "TimeSeriesPlayer":
+        """One DICOM ZIP per timestep (4D CT as commonly exported)."""
+        from volxel_tpu.ingest.ziploader import read_zip_to_grid
+
+        grids = [read_zip_to_grid(z) for z in zip_sources]
+        return cls(renderer, grids)
+
     def __len__(self) -> int:
         return len(self.grids)
 
