@@ -161,3 +161,39 @@ def test_hdr_fixture_decodes():
 def test_hdr_bad_magic():
     with pytest.raises(EnvDecodeError):
         decode_hdr(b"not an hdr file")
+
+
+def test_exr_uncompressed_roundtrip():
+    from volxel_tpu.ingest.exr import decode_exr, encode_exr_uncompressed
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 10, (12, 20, 3)).astype(np.float32)
+    decoded = decode_exr(encode_exr_uncompressed(img))
+    assert decoded.shape == (12, 20, 4)
+    np.testing.assert_allclose(decoded[..., :3], img, rtol=1e-6)
+    np.testing.assert_allclose(decoded[..., 3], 1.0)
+
+
+def test_exr_rgba_roundtrip():
+    from volxel_tpu.ingest.exr import decode_exr, encode_exr_uncompressed
+
+    rng = np.random.default_rng(6)
+    img = rng.uniform(0, 2, (8, 16, 4)).astype(np.float32)
+    decoded = decode_exr(encode_exr_uncompressed(img))
+    np.testing.assert_allclose(decoded, img, rtol=1e-6)
+
+
+def test_exr_dispatch_from_env_bytes():
+    from volxel_tpu.ingest.exr import encode_exr_uncompressed
+    from volxel_tpu.ingest.hdr import decode_env_bytes
+
+    img = np.full((4, 8, 3), 2.5, np.float32)
+    out = decode_env_bytes(encode_exr_uncompressed(img))
+    np.testing.assert_allclose(out[..., :3], 2.5, rtol=1e-6)
+
+
+def test_exr_bad_inputs():
+    from volxel_tpu.ingest.exr import decode_exr
+
+    with pytest.raises(EnvDecodeError):
+        decode_exr(b"\x00" * 32)

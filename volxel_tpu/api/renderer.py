@@ -281,6 +281,14 @@ class Renderer:
             sample_range=jnp.asarray(self.settings.sample_range, jnp.float32),
         )
 
+    def maybe_sync_light(self) -> None:
+        """Backlight mode (viewer.ts:789-795): when syncLightDir is on,
+        the light points from the camera toward the look-at target."""
+        if self.settings.sync_light_dir:
+            diff = self.camera.view - self.camera.pos
+            self.settings.light_dir = [float(-v) for v in diff]
+            self.restart_rendering()
+
     def sample_weight(self) -> float:
         """viewer.ts:1356"""
         f = self.frame_index

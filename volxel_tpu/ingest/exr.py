@@ -1,0 +1,213 @@
+"""Minimal OpenEXR decoder in numpy (no OpenEXR bindings in this env).
+
+Covers the common scanline EXR variants an environment-map workflow meets
+(the reference delegates this to the Rust `image` crate, hdr.rs:23-36):
+single-part scanline images, HALF/FLOAT channels, compression NONE, ZIPS
+(1 line/chunk) and ZIP (16 lines/chunk — the OpenEXR default). Tiled,
+deep, multi-part, PIZ/PXR24/B44/DWA files raise EnvDecodeError.
+
+Output: (height, width, 4) float32 RGBA, row 0 = image top (dataWindow
+yMin), alpha 1 where absent — same contract as decode_hdr.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from volxel_tpu.ingest.hdr import EnvDecodeError
+
+MAGIC = 0x01312F76
+
+_PIXEL_DTYPES = {1: np.dtype("<f2"), 2: np.dtype("<f4"), 0: np.dtype("<u4")}
+_PIXEL_SIZES = {1: 2, 2: 4, 0: 4}
+
+
+def _read_cstring(buf: memoryview, pos: int) -> tuple[str, int]:
+    end = pos
+    while buf[end] != 0:
+        end += 1
+        if end - pos > 255:
+            raise EnvDecodeError("Unterminated string in EXR header")
+    return bytes(buf[pos:end]).decode("ascii", "replace"), end + 1
+
+
+def _parse_channels(data: bytes) -> list[tuple[str, int]]:
+    channels = []
+    buf = memoryview(data)
+    pos = 0
+    while buf[pos] != 0:
+        name, pos = _read_cstring(buf, pos)
+        ptype = struct.unpack_from("<i", buf, pos)[0]
+        # pLinear u8 + 3 reserved + xSampling + ySampling
+        x_samp, y_samp = struct.unpack_from("<ii", buf, pos + 8)
+        pos += 16
+        if x_samp != 1 or y_samp != 1:
+            raise EnvDecodeError("Subsampled EXR channels are not supported")
+        channels.append((name, ptype))
+    return channels
+
+
+def _unzip_block(data: bytes) -> bytes:
+    """zlib inflate + EXR delta/interleave postprocess."""
+    raw = np.frombuffer(zlib.decompress(data), np.uint8).astype(np.int64)
+    if len(raw) == 0:
+        return b""
+    # delta decode: d[i] = d[i-1] + raw[i] - 128
+    raw[1:] -= 128
+    recon = np.cumsum(raw).astype(np.uint8)
+    # de-interleave: first half -> even bytes, second half -> odd bytes
+    half = (len(recon) + 1) // 2
+    out = np.empty(len(recon), np.uint8)
+    out[0::2] = recon[:half]
+    out[1::2] = recon[half:]
+    return out.tobytes()
+
+
+def decode_exr(data: bytes) -> np.ndarray:
+    buf = memoryview(data)
+    if len(data) < 8 or struct.unpack_from("<I", buf, 0)[0] != MAGIC:
+        raise EnvDecodeError("Not an OpenEXR stream")
+    version, flags = buf[4], buf[5]
+    if version != 2:
+        raise EnvDecodeError(f"Unsupported EXR version {version}")
+    if flags & 0x02:
+        raise EnvDecodeError("Tiled EXR is not supported")
+    if flags & 0x10 or flags & 0x08:
+        raise EnvDecodeError("Multi-part/deep EXR is not supported")
+
+    pos = 8
+    channels: list[tuple[str, int]] | None = None
+    data_window = None
+    compression = None
+    while True:
+        if buf[pos] == 0:
+            pos += 1
+            break
+        name, pos = _read_cstring(buf, pos)
+        _type, pos = _read_cstring(buf, pos)
+        size = struct.unpack_from("<i", buf, pos)[0]
+        pos += 4
+        value = bytes(buf[pos : pos + size])
+        pos += size
+        if name == "channels":
+            channels = _parse_channels(value)
+        elif name == "dataWindow":
+            data_window = struct.unpack("<4i", value)
+        elif name == "compression":
+            compression = value[0]
+
+    if channels is None or data_window is None or compression is None:
+        raise EnvDecodeError("EXR header missing required attributes")
+    x_min, y_min, x_max, y_max = data_window
+    width = x_max - x_min + 1
+    height = y_max - y_min + 1
+
+    if compression == 0:
+        lines_per_chunk, decomp = 1, lambda b, expected: b
+    elif compression == 2:  # ZIPS
+        lines_per_chunk, decomp = 1, lambda b, expected: _maybe_unzip(b, expected)
+    elif compression == 3:  # ZIP
+        lines_per_chunk, decomp = 16, lambda b, expected: _maybe_unzip(b, expected)
+    else:
+        raise EnvDecodeError(
+            f"EXR compression {compression} not supported (NONE/ZIPS/ZIP only)"
+        )
+
+    n_chunks = -(-height // lines_per_chunk)
+    offsets = struct.unpack_from(f"<{n_chunks}q", buf, pos)
+
+    ch_sizes = {name: _PIXEL_SIZES[pt] for name, pt in channels}
+    planes = {
+        name: np.zeros((height, width), np.float32)
+        for name, _ in channels
+        if name in ("R", "G", "B", "A", "Y")
+    }
+
+    for off in offsets:
+        y, chunk_size = struct.unpack_from("<ii", buf, off)
+        payload = bytes(buf[off + 8 : off + 8 + chunk_size])
+        rows = min(lines_per_chunk, y_max - y + 1)
+        expected = rows * sum(ch_sizes[n] for n, _ in channels) * width
+        payload = decomp(payload, expected)
+        if len(payload) != expected:
+            raise EnvDecodeError("EXR chunk size mismatch")
+        p = 0
+        for r in range(rows):
+            row = y - y_min + r
+            for name, ptype in channels:  # stored in header (alphabetical) order
+                nbytes = width * ch_sizes[name]
+                if name in planes:
+                    vals = np.frombuffer(
+                        payload, _PIXEL_DTYPES[ptype], count=width, offset=p
+                    )
+                    planes[name][row] = vals.astype(np.float32)
+                p += nbytes
+
+    out = np.zeros((height, width, 4), np.float32)
+    if "Y" in planes and "R" not in planes:
+        out[..., 0] = out[..., 1] = out[..., 2] = planes["Y"]
+    else:
+        for i, name in enumerate(("R", "G", "B")):
+            if name in planes:
+                out[..., i] = planes[name]
+    out[..., 3] = planes["A"] if "A" in planes else 1.0
+    return out
+
+
+def _maybe_unzip(payload: bytes, expected: int) -> bytes:
+    # the writer stores raw data when compression doesn't help
+    if len(payload) == expected:
+        return payload
+    return _unzip_block(payload)
+
+
+def encode_exr_uncompressed(image: np.ndarray) -> bytes:
+    """Write a minimal uncompressed FLOAT RGB(A) EXR (fixtures/tests)."""
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[:2]
+    has_a = img.shape[2] >= 4
+
+    def attr(name: bytes, typ: bytes, value: bytes) -> bytes:
+        return name + b"\x00" + typ + b"\x00" + struct.pack("<i", len(value)) + value
+
+    names = [b"A", b"B", b"G", b"R"] if has_a else [b"B", b"G", b"R"]
+    chan = b""
+    for n in names:
+        chan += n + b"\x00" + struct.pack("<iBBBBii", 2, 0, 0, 0, 0, 1, 1)
+    chan += b"\x00"
+
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = b""
+    header += attr(b"channels", b"chlist", chan)
+    header += attr(b"compression", b"compression", b"\x00")
+    header += attr(b"dataWindow", b"box2i", box)
+    header += attr(b"displayWindow", b"box2i", box)
+    header += attr(b"lineOrder", b"lineOrder", b"\x00")
+    header += attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+    header += attr(b"screenWindowCenter", b"v2f", struct.pack("<2f", 0, 0))
+    header += attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+    header += b"\x00"
+
+    head = struct.pack("<IBBBB", MAGIC, 2, 0, 0, 0) + header
+    line_bytes = len(names) * w * 4
+    table_pos = len(head)
+    data_start = table_pos + 8 * h
+
+    chunks = []
+    offsets = []
+    pos = data_start
+    idx = {b"R": 0, b"G": 1, b"B": 2, b"A": 3}
+    for y in range(h):
+        payload = b"".join(
+            np.ascontiguousarray(img[y, :, idx[n]], np.float32).tobytes()
+            for n in names
+        )
+        chunk = struct.pack("<ii", y, line_bytes) + payload
+        offsets.append(pos)
+        chunks.append(chunk)
+        pos += len(chunk)
+
+    return head + struct.pack(f"<{h}q", *offsets) + b"".join(chunks)

@@ -100,22 +100,25 @@ def decode_hdr(data: bytes) -> np.ndarray:
 
 
 def decode_exr(data: bytes) -> np.ndarray:
-    """Decode EXR via imageio if a plugin is available."""
-    try:
-        import imageio.v3 as iio
+    """Decode EXR: the in-repo numpy decoder first (NONE/ZIPS/ZIP scanline
+    files), then imageio if a plugin happens to be available."""
+    from volxel_tpu.ingest.exr import decode_exr as decode_exr_native
 
-        img = iio.imread(data, extension=".exr")
-    except Exception as e:  # pragma: no cover - plugin availability varies
-        raise EnvDecodeError(
-            "EXR decoding unavailable in this environment (no EXR plugin); "
-            "use Radiance .hdr environment maps"
-        ) from e
-    img = np.asarray(img, dtype=np.float32)
-    if img.ndim == 2:
-        img = np.repeat(img[..., None], 3, axis=-1)
-    if img.shape[-1] == 3:
-        img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
-    return img
+    try:
+        return decode_exr_native(data)
+    except EnvDecodeError as native_error:
+        try:
+            import imageio.v3 as iio
+
+            img = iio.imread(data, extension=".exr")
+        except Exception:  # pragma: no cover - plugin availability varies
+            raise native_error from None
+        img = np.asarray(img, dtype=np.float32)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        if img.shape[-1] == 3:
+            img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
+        return img
 
 
 def decode_env_bytes(data: bytes) -> np.ndarray:
