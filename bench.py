@@ -27,8 +27,8 @@ def main() -> None:
 
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     width, height = 1920, 1080
-    warmup = 2
-    timed = 8
+    warmup = 3
+    timed = 20
 
     vol = synthetic_ct_volume((size, size, size), bits_stored=12)
     grid = construct_brick_grid(

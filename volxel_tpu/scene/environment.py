@@ -49,11 +49,6 @@ def luma(rgb):
     )
 
 
-def _avg_pool2(x: jax.Array) -> jax.Array:
-    h, w = x.shape
-    return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-
-
 def build_env_state(envmap_texture: np.ndarray, strength: float = 1.0) -> EnvState:
     """Build the importance pyramid from a texture-space (H, W, 3) envmap.
 

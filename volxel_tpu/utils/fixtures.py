@@ -106,7 +106,9 @@ def synthetic_ct_volume(
     non-constant where occupied.
     """
     z, y, x = size
-    zz, yy, xx = np.mgrid[0:z, 0:y, 0:x].astype(np.float32)
+    zz = np.arange(z, dtype=np.float32)[:, None, None]
+    yy = np.arange(y, dtype=np.float32)[None, :, None]
+    xx = np.arange(x, dtype=np.float32)[None, None, :]
     cz, cy, cx = (z - 1) / 2, (y - 1) / 2, (x - 1) / 2
     r = np.sqrt(
         ((xx - cx) / (x * 0.45)) ** 2
