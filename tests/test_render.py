@@ -210,3 +210,21 @@ def test_clip_box_limits_extent(grid):
     r.render_frame()
     clipped = r.raw_image()
     assert not np.allclose(full, clipped)
+
+
+def test_physical_shadows_differ_from_reference_quirk(grid):
+    """The physical-transmittance extension produces different (softer)
+    shadows than the reference's binary quirk, and stays finite."""
+    imgs = {}
+    for flag in (False, True):
+        r = _renderer(grid, size=24, bounces=1)
+        r.settings.physical_shadows = flag
+        r.restart_rendering()
+        for _ in range(24):
+            r.render_frame()
+        imgs[flag] = r.raw_image()
+        assert np.isfinite(imgs[flag]).all()
+    assert not np.allclose(imgs[False], imgs[True])
+    # physical transmittance can only let MORE light through than the
+    # binary quirk (Tr_quirk = 0 <= Tr_phys on every shadow ray)
+    assert imgs[True].mean() >= imgs[False].mean() - 1e-4

@@ -254,6 +254,7 @@ class Renderer:
             use_env=bool(self.settings.use_env),
             debug_hits=bool(self.settings.debug_hits),
             gradient_shading=bool(self.settings.gradient_shading),
+            physical_shadows=bool(self.settings.physical_shadows),
         )
 
     def volume_params(self) -> VolumeParams:

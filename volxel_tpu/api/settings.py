@@ -51,6 +51,9 @@ class ViewerSettings:
     # extension beyond the reference (BASELINE config 4): first-hit
     # central-difference gradient Blinn-Phong shading
     gradient_shading: bool = False
+    # extension: unbiased ratio-tracking shadow transmittance (soft
+    # shadows) instead of the reference's binary-shadow quirk
+    physical_shadows: bool = False
 
     def to_json_dict(self) -> dict:
         """camelCase dict matching the reference ViewerSettings shape."""

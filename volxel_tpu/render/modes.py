@@ -162,7 +162,9 @@ def sample_volume_dda(grid, params, lut, origin, direction, state, active):
     return state, hit, t, rgb, le_add
 
 
-def transmittance_dda(grid, params, lut, origin, direction, state, active):
+def transmittance_dda(
+    grid, params, lut, origin, direction, state, active, physical: bool = False
+):
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
     )
@@ -221,9 +223,18 @@ def transmittance_dda(grid, params, lut, origin, direction, state, active):
         real = xi1 * majorant < d
 
         check = running & collided & ~escaped
-        # reference quirk (dda.glsl:48): Tr *= max(0, 1 - global_maj/local_maj)
-        # which is 0 whenever transfer alpha <= 1 — real collisions are opaque
-        ratio = jnp.maximum(0.0, 1.0 - params.vol_maj / jnp.maximum(majorant, 1e-20))
+        if physical:
+            # proper ratio tracking: Tr *= 1 - density/local_majorant
+            # (the unbiased null-collision update; extension beyond the
+            # reference, giving soft shadows in default mode)
+            ratio = jnp.maximum(0.0, 1.0 - d / jnp.maximum(majorant, 1e-20))
+        else:
+            # reference quirk (dda.glsl:48): Tr *= max(0, 1 - global/local)
+            # which is 0 whenever transfer alpha <= 1 — real collisions
+            # are opaque, shadows are binary
+            ratio = jnp.maximum(
+                0.0, 1.0 - params.vol_maj / jnp.maximum(majorant, 1e-20)
+            )
         tr_new = jnp.where(check & real, tr * ratio, tr)
         # russian roulette on low transmittance (dda.glsl:50-54)
         state, xi_rr = rng(state)
@@ -435,3 +446,13 @@ MODE_FUNCTIONS = {
     "no_dda": (sample_volume_simple, transmittance_simple),
     "raymarch": (sample_volume_raymarch, transmittance_raymarch),
 }
+
+
+def get_mode_functions(mode: str, physical_shadows: bool = False):
+    """Mode dispatch with the optional physical-transmittance extension."""
+    import functools
+
+    sample_volume, transmittance = MODE_FUNCTIONS[mode]
+    if physical_shadows and mode == "default":
+        transmittance = functools.partial(transmittance_dda, physical=True)
+    return sample_volume, transmittance

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from volxel_tpu.render.modes import MODE_FUNCTIONS
+from volxel_tpu.render.modes import get_mode_functions
 from volxel_tpu.render.rays import (
     Rays,
     camera_rays,
@@ -56,6 +56,9 @@ class RenderConfig(NamedTuple):
     debug_hits: bool = False
     hide_envmap: bool = False
     gradient_shading: bool = False  # config 4: first-hit Blinn-Phong
+    # extension: unbiased ratio-tracking shadow transmittance instead of
+    # the reference's binary-shadow quirk (see modes.transmittance_dda)
+    physical_shadows: bool = False
     # wavefront chunking: the traversal while_loops run until EVERY lane
     # finishes, so one worst-case ray stalls the whole wavefront. Chunking
     # lax.maps the trace over coherent pixel blocks, letting each block
@@ -75,7 +78,9 @@ def trace_path(
     state,
 ):
     """fragment.frag:79-124 vectorized over the ray wavefront."""
-    sample_volume, transmittance = MODE_FUNCTIONS[config.mode]
+    sample_volume, transmittance = get_mode_functions(
+        config.mode, config.physical_shadows
+    )
     n = origin.shape[0]
 
     radiance = jnp.zeros((n, 3), jnp.float32)

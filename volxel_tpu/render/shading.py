@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from volxel_tpu.render.modes import MODE_FUNCTIONS
+from volxel_tpu.render.modes import get_mode_functions
 from volxel_tpu.render.rays import Rays, ray_box_intersection, sanitize
 from volxel_tpu.render.sampling import (
     lookup_density_trilinear,
@@ -41,7 +41,9 @@ def density_gradient(grid, params, ipos):
 
 def trace_shaded(config, grid, params, lut, env, light_dir, origin, direction, state):
     """One-hit gradient Blinn-Phong shading with a traced shadow ray."""
-    sample_volume, transmittance = MODE_FUNCTIONS[config.mode]
+    sample_volume, transmittance = get_mode_functions(
+        config.mode, getattr(config, 'physical_shadows', False)
+    )
     n = origin.shape[0]
     active = jnp.ones((n,), jnp.bool_)
 
