@@ -56,3 +56,11 @@ def test_distributed_image_and_settings(grid):
     assert np.isfinite(img).all()
     export = dist.export_settings()
     assert export["version"] == "v3"
+
+
+def test_distributed_render_uses_mesh(grid):
+    dist = _setup(DistributedRenderer(width=16, height=16, sp=4, px=2), grid)
+    img = dist.render(samples=8)
+    assert dist.samples_rendered() == 8
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()

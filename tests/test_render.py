@@ -228,3 +228,18 @@ def test_physical_shadows_differ_from_reference_quirk(grid):
     # physical transmittance can only let MORE light through than the
     # binary quirk (Tr_quirk = 0 <= Tr_phys on every shadow ray)
     assert imgs[True].mean() >= imgs[False].mean() - 1e-4
+
+
+def test_settings_roundtrip_full_transfer(grid):
+    """FULL-type transfer functions survive export -> verify -> restore."""
+    r = _renderer(grid, size=16)
+    rows = [[0.0, 0.0, 0.0, 0.0], [0.2, 0.4, 0.6, 0.5], [1.0, 1.0, 1.0, 1.0]]
+    r.set_transfer_full(rows)
+    export = r.export_settings()
+    assert export["transfer"]["transfer"]["type"] == "full"
+
+    r2 = _renderer(grid, size=16)
+    r2.restore_settings(export)
+    assert r2._transfer_type == "full"
+    np.testing.assert_allclose(np.asarray(r2._lut), np.asarray(rows), atol=1e-6)
+    r2.render_frame()

@@ -83,3 +83,12 @@ class DistributedRenderer(Renderer):
 
     def samples_rendered(self) -> int:
         return self.frame_index * self.sp
+
+    def render(self, samples: int | None = None, batch: int | None = None):
+        """Progressive render on the mesh (overrides the single-chip
+        batched path — each step already advances sp samples)."""
+        total = samples if samples is not None else self.settings.max_samples
+        steps = -(-total // self.sp)
+        for _ in range(steps):
+            self.render_frame()
+        return self.image()
