@@ -18,6 +18,34 @@ Layer map (mirrors reference SURVEY.md §1, re-architected for TPU):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: render-config compiles cost
+    10-30 s on TPU; caching them makes every process after the first
+    start instantly. Opt out with VOLXEL_TPU_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("VOLXEL_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "VOLXEL_TPU_COMPILE_CACHE",
+            _os.path.join(
+                _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
+                "volxel_tpu_xla",
+            ),
+        )
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
+
+_enable_compilation_cache()
+
 from volxel_tpu.api.renderer import Renderer  # noqa: F401
 from volxel_tpu.api.settings import (  # noqa: F401
     SettingsExport,
