@@ -19,10 +19,35 @@ from volxel_tpu.parallel.shard import render_sample_sharded
 
 
 class DistributedRenderer(Renderer):
-    def __init__(self, *args, mesh=None, sp: int = 1, px: int | None = None, **kwargs):
+    """vz > 1 additionally shards the volume's dense field into z-slabs
+    with ICI halos over the 'vz' mesh axis (parallel/volshard.py) — the
+    memory-capacity axis for volumes beyond one chip's HBM. Renders stay
+    bit-identical to the replicated-volume path."""
+
+    def __init__(
+        self,
+        *args,
+        mesh=None,
+        sp: int = 1,
+        px: int | None = None,
+        vz: int = 1,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
-        self.mesh = mesh if mesh is not None else make_mesh(sp=sp, px=px)
+        self.mesh = mesh if mesh is not None else make_mesh(sp=sp, px=px, vz=vz)
         self.sp = self.mesh.shape["sp"]
+        self.vz = self.mesh.shape.get("vz", 1)
+        self._slabbed = None
+
+    def _render_grid(self):
+        """The grid operand for sharded renders (slab-sharded when vz>1)."""
+        if self.vz == 1:
+            return self._device_grid
+        if self._slabbed is None or self._slabbed.meta.extent is not self._device_grid.extent:
+            from volxel_tpu.parallel.volshard import build_slabbed_volume
+
+            self._slabbed = build_slabbed_volume(self._device_grid, self.mesh)
+        return self._slabbed
 
     def render_frame(self):
         """One sharded step = `sp` progressive samples, mean-combined.
@@ -56,7 +81,7 @@ class DistributedRenderer(Renderer):
             )
             self._cached_operands = (
                 config,
-                self._device_grid,
+                self._render_grid(),
                 self.volume_params(),
                 self._lut,
                 self.environment.state,

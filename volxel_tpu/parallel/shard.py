@@ -8,9 +8,11 @@ seeding is a pure function of (global pixel index, global sample index),
 the sharded render is bit-identical to the equivalent single-chip sequence
 of samples.
 
-The grid/LUT/env operands are replicated (a 512^3 brick grid is ~150 MiB —
-comfortably resident per chip); brick-slab sharding with halo exchange for
-volumes beyond HBM is in volxel_tpu.parallel.slab.
+Operand placement: LUT/env/camera are replicated; the grid is either
+replicated (a 512^3 brick grid is ~150 MiB — comfortably resident per chip)
+or, on a mesh with a 'vz' axis, a SlabbedVolume whose dense field is
+z-slab-sharded with ICI halos (parallel/volshard.py) for volumes beyond one
+chip's HBM.
 """
 
 from __future__ import annotations
@@ -25,21 +27,28 @@ from jax import shard_map
 from volxel_tpu.render.pathtrace import RenderConfig, render_pixels
 
 
-def sharded_render_fn(config: RenderConfig, mesh: Mesh):
+def sharded_render_fn(config: RenderConfig, mesh: Mesh, slab: bool = False):
     """Build a jitted sharded render: (operands..., frame_index) -> (n, 3).
 
     Each 'sp' rank renders sample `frame_index * sp + rank`; the result is
     the mean over ranks — i.e. one call advances `sp` progressive samples.
+    With slab=True the grid operand must be a SlabbedVolume and the mesh
+    must carry a 'vz' axis; ray state is replicated over 'vz' and density
+    taps psum over it (bit-identical to the replicated-grid render).
     """
     n = config.width * config.height
     sp = mesh.shape["sp"]
     px = mesh.shape["px"]
     if n % px != 0:
         raise ValueError(f"pixel count {n} not divisible by px axis {px}")
+    if slab and "vz" not in mesh.shape:
+        raise ValueError("slab rendering needs a mesh with a 'vz' axis")
 
     def per_device(grid, params, lut, env, inv_view, inv_proj, light_dir, frame_index):
         px_rank = jax.lax.axis_index("px")
         sp_rank = jax.lax.axis_index("sp")
+        if slab:
+            grid = grid.local_grid()
         local_n = n // px
         pixel_index = (px_rank * local_n + jnp.arange(local_n)).astype(jnp.uint32)
         sample_index = frame_index * jnp.uint32(sp) + sp_rank.astype(jnp.uint32)
@@ -58,15 +67,23 @@ def sharded_render_fn(config: RenderConfig, mesh: Mesh):
         # sample-parallel mean over ICI
         return jax.lax.pmean(radiance, "sp")
 
-    # operands replicated; output pixels sharded along 'px'.
+    # operands replicated except a slab-sharded grid; output pixels sharded
+    # along 'px' (replicated over 'sp' by the pmean and over 'vz' by the
+    # lookup psums).
     # check_vma=False: the traversal while_loops initialize carries from
     # replicated constants that become device-varying inside the body
     # (RNG state depends on axis_index); semantics are correct, only the
     # static varying-axis check cannot prove it.
+    if slab:
+        from volxel_tpu.parallel.volshard import SlabbedVolume
+
+        grid_spec = SlabbedVolume(P("vz", None, None), P(), "vz")
+    else:
+        grid_spec = P()
     mapped = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(grid_spec, P(), P(), P(), P(), P(), P(), P()),
         out_specs=P("px", None),
         check_vma=False,
     )  # jax.shard_map keyword-only API (jax >= 0.8)
@@ -85,16 +102,23 @@ def render_sample_sharded(
     light_dir,
     frame_index,
 ):
-    """One sharded progressive step (advances mesh.shape['sp'] samples)."""
-    fn = _cached_sharded_fn(config, mesh)
+    """One sharded progressive step (advances mesh.shape['sp'] samples).
+
+    `grid` may be a DeviceGrid (replicated) or a SlabbedVolume (z-slab
+    sharded dense field on a mesh with a 'vz' axis) — detected by type.
+    """
+    from volxel_tpu.parallel.volshard import SlabbedVolume
+
+    slab = isinstance(grid, SlabbedVolume)
+    fn = _cached_sharded_fn(config, mesh, slab)
     return fn(grid, params, lut, env, inv_view, inv_proj, light_dir, frame_index)
 
 
 _FN_CACHE: dict = {}
 
 
-def _cached_sharded_fn(config: RenderConfig, mesh: Mesh):
-    key = (config, tuple(d.id for d in mesh.devices.flat), mesh.shape["sp"])
+def _cached_sharded_fn(config: RenderConfig, mesh: Mesh, slab: bool = False):
+    key = (config, tuple(d.id for d in mesh.devices.flat), mesh.shape["sp"], slab)
     if key not in _FN_CACHE:
-        _FN_CACHE[key] = sharded_render_fn(config, mesh)
+        _FN_CACHE[key] = sharded_render_fn(config, mesh, slab)
     return _FN_CACHE[key]

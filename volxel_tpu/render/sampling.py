@@ -114,6 +114,92 @@ def device_grid_from_brick(grid: BrickGrid, dense: bool | None = None) -> Device
     )
 
 
+@jax.tree_util.register_pytree_node_class
+class SlabGrid:
+    """A DeviceGrid whose dense voxel field is z-slab-sharded over a mesh axis.
+
+    Render-time volume sharding (north star configs[4]): the bulk voxel data
+    — the only operand that outgrows one chip's HBM — lives as per-device
+    z-slabs with a 2-voxel halo band on each side (the reference's dilation
+    half-width, brick.rs:101-103, which also covers every trilinear stencil,
+    common.glsl:61-69), exchanged once at load time via ppermute over ICI
+    (parallel.volshard). The majorant pyramid and extent stay replicated
+    (~4 MiB for 512^3 — metadata, not bulk).
+
+    Lookup protocol: ray state is replicated over the slab axis, so every
+    device executes the same traversal control flow in lockstep; each
+    density tap is answered by the one device owning the tap's z-slice
+    (owner-masked local gather) and combined with a psum over the axis.
+    Adding the other devices' exact-zero contributions is bitwise-exact, so
+    sharded renders are bit-identical to replicated-grid renders — pinned by
+    tests/test_volshard.py.
+
+    Only valid inside shard_map over a mesh containing `axis`.
+    """
+
+    def __init__(self, dense_local, maj_mips, extent, axis: str):
+        self.dense_local = dense_local  # (slab_z + 2*SLAB_HALO, Y, X) bf16
+        self.maj_mips = maj_mips  # replicated — same layout as DeviceGrid
+        self.extent = extent  # replicated (3,) int32 (x, y, z)
+        self.axis = axis  # mesh axis name (static)
+
+    def tree_flatten(self):
+        return (self.dense_local, self.maj_mips, self.extent), self.axis
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, axis=aux)
+
+
+SLAB_HALO = 2  # dilation half-width (brick.rs:101-103)
+
+
+def _slab_z0(grid: SlabGrid):
+    slab_z = grid.dense_local.shape[0] - 2 * SLAB_HALO
+    return jax.lax.axis_index(grid.axis) * slab_z, slab_z
+
+
+def _slab_local_tap(grid: SlabGrid, z0, iipos):
+    """Tap the local halo'd slab at global integer coords (OOB -> 0.0).
+
+    Matches the replicated dense tap bitwise: same extent clip, same
+    inside mask, same bf16 -> f32 conversion. Caller masks by ownership.
+    """
+    inside = jnp.all((iipos >= 0) & (iipos < grid.extent), axis=-1)
+    ip = jnp.clip(iipos, 0, grid.extent - 1)
+    lz = ip[..., 2] - z0 + SLAB_HALO
+    lz = jnp.clip(lz, 0, grid.dense_local.shape[0] - 1)
+    value = grid.dense_local[lz, ip[..., 1], ip[..., 0]].astype(jnp.float32)
+    return jnp.where(inside, value, 0.0)
+
+
+def _slab_density_int(grid: SlabGrid, iipos):
+    """Sharded single-tap lookup: owner = device whose slab holds the tap z."""
+    z0, slab_z = _slab_z0(grid)
+    z = iipos[..., 2]
+    own = (z >= z0) & (z < z0 + slab_z)
+    value = _slab_local_tap(grid, z0, iipos)
+    return jax.lax.psum(jnp.where(own, value, 0.0), grid.axis)
+
+
+def _slab_density_trilinear(grid: SlabGrid, params: "VolumeParams", ipos):
+    """Sharded trilinear: the device owning the (clipped) stencil base z
+    computes the whole 8-tap stencil from its halo'd slab (taps reach at
+    most base+1 — inside the halo), then one psum. Identical accumulation
+    order to the replicated path -> bit-identical results."""
+    z0, slab_z = _slab_z0(grid)
+    p = ipos - 0.5
+    base = jnp.floor(p).astype(jnp.int32)
+    base_zc = jnp.clip(base[..., 2], 0, grid.extent[2] - 1)
+    own = (base_zc >= z0) & (base_zc < z0 + slab_z)
+    acc = _trilinear_acc(
+        ipos, lambda tap: _slab_local_tap(grid, z0, tap)
+    )
+    return params.density_scale * jax.lax.psum(
+        jnp.where(own, acc, 0.0), grid.axis
+    )
+
+
 class VolumeParams(NamedTuple):
     """Per-frame volume uniforms (viewer.ts bindUniforms, :1295-1357)."""
 
@@ -141,12 +227,15 @@ def world_to_index_dir(params: VolumeParams, d):
 # -- raw voxel lookups ---------------------------------------------------------
 
 
-def lookup_density_brick_int(grid: DeviceGrid, iipos):
+def lookup_density_brick_int(grid, iipos):
     """Decoded density at integer voxel coords (common.glsl:36-43).
 
     iipos: (..., 3) int32 in (x, y, z) order. OOB taps return 0.0.
-    Uses the pre-decoded dense field (one gather) when present.
+    Uses the pre-decoded dense field (one gather) when present; for a
+    SlabGrid the tap is answered by the owning device + psum.
     """
+    if isinstance(grid, SlabGrid):
+        return _slab_density_int(grid, iipos)
     inside = jnp.all((iipos >= 0) & (iipos < grid.extent), axis=-1)
     ip = jnp.clip(iipos, 0, grid.extent - 1)
     if grid.dense is not None:
@@ -185,8 +274,9 @@ def lookup_density(grid: DeviceGrid, params: VolumeParams, ipos):
     return params.density_scale * lookup_density_brick_int(grid, iipos)
 
 
-def lookup_density_trilinear(grid: DeviceGrid, params: VolumeParams, ipos):
-    """Trilinear filtered scaled density (common.glsl:61-69)."""
+def _trilinear_acc(ipos, tap_fn):
+    """8-tap trilinear accumulation; shared by the replicated and slab
+    paths so both execute the identical op sequence (bit-parity)."""
     p = ipos - 0.5
     base = jnp.floor(p).astype(jnp.int32)
     f = p - base
@@ -194,15 +284,21 @@ def lookup_density_trilinear(grid: DeviceGrid, params: VolumeParams, ipos):
     for dz in (0, 1):
         for dy in (0, 1):
             for dx in (0, 1):
-                tap = lookup_density_brick_int(
-                    grid, base + jnp.array([dx, dy, dz], jnp.int32)
-                )
+                tap = tap_fn(base + jnp.array([dx, dy, dz], jnp.int32))
                 w = (
                     (f[..., 0] if dx else 1 - f[..., 0])
                     * (f[..., 1] if dy else 1 - f[..., 1])
                     * (f[..., 2] if dz else 1 - f[..., 2])
                 )
                 acc = acc + tap * w
+    return acc
+
+
+def lookup_density_trilinear(grid, params: VolumeParams, ipos):
+    """Trilinear filtered scaled density (common.glsl:61-69)."""
+    if isinstance(grid, SlabGrid):
+        return _slab_density_trilinear(grid, params, ipos)
+    acc = _trilinear_acc(ipos, lambda tap: lookup_density_brick_int(grid, tap))
     return params.density_scale * acc
 
 
