@@ -1,13 +1,20 @@
 """Minimal self-contained DICOM parser (no pydicom in this environment).
 
 Covers what the reference ingest consumes (dicom_preprocessor/src/lib.rs:47-140):
-uncompressed little-endian pixel data, 16-bit unsigned, 1 sample/pixel, plus
-the geometry tags PixelSpacing (0028,0030) and SliceThickness (0018,0050),
-and DICOMDIR detection via the directory record sequence (0004,1220).
+pixel data (16-bit unsigned, 1 sample/pixel), the geometry tags
+PixelSpacing (0028,0030) and SliceThickness (0018,0050), and DICOMDIR
+detection via the directory record sequence (0004,1220).
 
-Supports Explicit and Implicit VR Little Endian transfer syntaxes, files
-with or without the 128-byte preamble, and nested sequences (skipped, except
-for DICOMDIR detection).
+Transfer syntaxes: Explicit/Implicit VR Little Endian, Explicit VR Big
+Endian, and — matching the reference's dicom-pixeldata features
+["image","jpeg","native"] (dicom_preprocessor/Cargo.toml:25) — the
+encapsulated syntaxes JPEG Lossless (.57/.70, incl. SV1, bit-exact), JPEG
+Baseline/Extended (.50/.51), and RLE Lossless (1.2.840.10008.1.2.5),
+decoded by the in-repo ingest.jpeg / ingest.rle codecs. Unsupported
+encapsulated syntaxes (JPEG-LS, JPEG 2000) raise cleanly by name.
+
+Files with or without the 128-byte preamble parse; nested sequences are
+skipped (except for DICOMDIR detection).
 """
 
 from __future__ import annotations
@@ -20,6 +27,25 @@ import numpy as np
 # transfer syntaxes
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
+JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
+JPEG_2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
+JPEG_2000 = "1.2.840.10008.1.2.4.91"
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+
+_JPEG_SYNTAXES = (JPEG_BASELINE, JPEG_EXTENDED, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1)
+_ENCAPSULATED_SYNTAXES = _JPEG_SYNTAXES + (RLE_LOSSLESS,)
+_NAMED_UNSUPPORTED = {
+    JPEG_LS_LOSSLESS: "JPEG-LS Lossless",
+    JPEG_LS_NEAR: "JPEG-LS Near-Lossless",
+    JPEG_2000_LOSSLESS: "JPEG 2000 Lossless",
+    JPEG_2000: "JPEG 2000",
+}
 
 # tags (group, element) — reference lib.rs:36-45
 TAG_PIXEL_SPACING = (0x0028, 0x0030)
@@ -54,6 +80,11 @@ class DicomFile:
     elements: dict[tuple[int, int], bytes]
     vrs: dict[tuple[int, int], str] = field(default_factory=dict)
     is_dicomdir: bool = False
+    transfer_syntax: str = EXPLICIT_VR_LE
+    fragments: list[bytes] = field(default_factory=list)
+    offset_table: list[int] = field(default_factory=list)
+    fragment_offsets: list[int] = field(default_factory=list)
+    big_endian: bool = False
 
     # -- typed accessors ------------------------------------------------------
 
@@ -70,11 +101,15 @@ class DicomFile:
         s = self.string(tag)
         return [] if s is None else [p.strip() for p in s.split("\\")]
 
+    @property
+    def _e(self) -> str:
+        return ">" if self.big_endian else "<"
+
     def uint16(self, tag, default=None) -> int | None:
         raw = self.elements.get(tag)
         if raw is None or len(raw) < 2:
             return default
-        return struct.unpack("<H", raw[:2])[0]
+        return struct.unpack(self._e + "H", raw[:2])[0]
 
     def int_value(self, tag, default=None) -> int | None:
         """Integer from US/UL binary or IS string representation."""
@@ -83,9 +118,9 @@ class DicomFile:
             return default
         vr = self.vrs.get(tag, "")
         if vr in ("US",) or (not vr and len(raw) == 2):
-            return struct.unpack("<H", raw[:2])[0]
+            return struct.unpack(self._e + "H", raw[:2])[0]
         if vr in ("UL",) or (not vr and len(raw) == 4):
-            return struct.unpack("<I", raw[:4])[0]
+            return struct.unpack(self._e + "I", raw[:4])[0]
         try:
             return int(raw.decode("ascii").strip("\x00 "))
         except ValueError as e:
@@ -100,12 +135,16 @@ class DicomFile:
         """Decode pixel data as (frames, rows, cols) uint16.
 
         Enforces the same constraints as the reference (lib.rs:77-84):
-        1 sample/pixel, 16 bits allocated, unsigned representation.
+        1 sample/pixel, unsigned representation. Deviation: 8-bit samples
+        (JPEG Baseline archives) are accepted and widened to uint16 — the
+        reference panics on them, which is a limitation, not behavior worth
+        preserving.
         """
         if self.int_value(TAG_SAMPLES_PER_PIXEL, 1) != 1:
             raise DicomError("More than one sample per pixel not currently supported")
-        if self.int_value(TAG_BITS_ALLOCATED, 16) != 16:
-            raise DicomError("Currently only 16bit samples are supported")
+        bits_allocated = self.int_value(TAG_BITS_ALLOCATED, 16)
+        if bits_allocated not in (8, 16):
+            raise DicomError("Currently only 8/16bit samples are supported")
         if self.int_value(TAG_PIXEL_REPRESENTATION, 0) != 0:
             raise DicomError("Currently only unsigned samples are supported")
         rows = self.int_value(TAG_ROWS)
@@ -113,20 +152,78 @@ class DicomFile:
         if rows is None or cols is None:
             raise DicomError("Missing Rows/Columns")
         frames = self.int_value(TAG_NUMBER_OF_FRAMES, 1) or 1
+
+        if self.fragments:
+            return self._decode_encapsulated(rows, cols, frames, bits_allocated)
+
         raw = self.elements.get(TAG_PIXEL_DATA)
         if raw is None:
             raise DicomError("Missing PixelData")
-        expected = rows * cols * frames * 2
+        nbytes = bits_allocated // 8
+        expected = rows * cols * frames * nbytes
         if len(raw) < expected:
             raise DicomError(
-                f"PixelData too short: {len(raw)} < {expected} "
-                "(compressed transfer syntaxes are not supported)"
+                f"PixelData too short: {len(raw)} < {expected}"
             )
+        dt = (self._e + "u2") if nbytes == 2 else "u1"
         return (
-            np.frombuffer(raw[:expected], dtype="<u2")
+            np.frombuffer(raw[:expected], dtype=dt)
             .reshape(frames, rows, cols)
             .astype(np.uint16)
         )
+
+    def _frame_fragments(self, frames: int) -> list[bytes]:
+        """Group encapsulated fragments into per-frame byte streams (PS3.5 A.4)."""
+        frags = self.fragments
+        if frames == 1:
+            return [b"".join(frags)]
+        if len(frags) == frames:
+            return list(frags)
+        if self.offset_table and len(self.offset_table) == frames:
+            groups = []
+            starts = list(self.offset_table)
+            for i, start in enumerate(starts):
+                end = starts[i + 1] if i + 1 < frames else None
+                parts = [
+                    f
+                    for f, off in zip(frags, self.fragment_offsets)
+                    if off >= start and (end is None or off < end)
+                ]
+                groups.append(b"".join(parts))
+            return groups
+        raise DicomError(
+            f"cannot map {len(frags)} pixel-data fragments onto {frames} "
+            "frames (missing/odd Basic Offset Table)"
+        )
+
+    def _decode_encapsulated(self, rows, cols, frames, bits_allocated) -> np.ndarray:
+        syntax = self.transfer_syntax
+        streams = self._frame_fragments(frames)
+        out = np.empty((frames, rows, cols), np.uint16)
+        if syntax in _JPEG_SYNTAXES:
+            from volxel_tpu.ingest import jpeg
+
+            for i, stream in enumerate(streams):
+                try:
+                    img = jpeg.decode(stream)
+                except jpeg.JpegError as e:
+                    raise DicomError(f"JPEG decode failed: {e}") from e
+                if img.shape != (rows, cols):
+                    raise DicomError(
+                        f"JPEG frame shape {img.shape} != ({rows}, {cols})"
+                    )
+                out[i] = img
+        elif syntax == RLE_LOSSLESS:
+            from volxel_tpu.ingest import rle
+
+            for i, stream in enumerate(streams):
+                try:
+                    out[i] = rle.decode_rle(stream, rows, cols, bits_allocated)
+                except rle.RleError as e:
+                    raise DicomError(f"RLE decode failed: {e}") from e
+        else:
+            raise DicomError(f"Unsupported encapsulated transfer syntax: {syntax}")
+        return out
 
     @property
     def bits_stored(self) -> int:
@@ -148,13 +245,15 @@ class DicomFile:
         return min(sx, sy)
 
 
-def _skip_sequence_undefined(buf: memoryview, pos: int, explicit: bool) -> int:
+def _skip_sequence_undefined(
+    buf: memoryview, pos: int, explicit: bool, e: str = "<"
+) -> int:
     """Skip an undefined-length SQ body, returning the offset past its delimiter."""
     depth = 1
     n = len(buf)
     while pos + 8 <= n and depth > 0:
-        group, elem = struct.unpack_from("<HH", buf, pos)
-        length = struct.unpack_from("<I", buf, pos + 4)[0]
+        group, elem = struct.unpack_from(e + "HH", buf, pos)
+        length = struct.unpack_from(e + "I", buf, pos + 4)[0]
         pos += 8
         tag = (group, elem)
         if tag == _SEQ_DELIM:
@@ -168,32 +267,65 @@ def _skip_sequence_undefined(buf: memoryview, pos: int, explicit: bool) -> int:
         else:
             # element inside an undefined-length item
             pos -= 8
-            pos = _skip_element(buf, pos, explicit)
+            pos = _skip_element(buf, pos, explicit, e)
     return pos
 
 
-def _skip_element(buf: memoryview, pos: int, explicit: bool) -> int:
+def _skip_element(buf: memoryview, pos: int, explicit: bool, e: str = "<") -> int:
     """Advance past one data element (used only inside skipped sequences)."""
-    group, elem = struct.unpack_from("<HH", buf, pos)
+    group, elem = struct.unpack_from(e + "HH", buf, pos)
     pos += 4
     if explicit and (group, elem) not in (_ITEM, _ITEM_DELIM, _SEQ_DELIM):
         vr = bytes(buf[pos : pos + 2])
         if vr in _LONG_VRS:
-            length = struct.unpack_from("<I", buf, pos + 4)[0]
+            length = struct.unpack_from(e + "I", buf, pos + 4)[0]
             pos += 8
         else:
-            length = struct.unpack_from("<H", buf, pos + 2)[0]
+            length = struct.unpack_from(e + "H", buf, pos + 2)[0]
             pos += 4
-        is_sq = vr == b"SQ"
     else:
-        length = struct.unpack_from("<I", buf, pos)[0]
+        length = struct.unpack_from(e + "I", buf, pos)[0]
         pos += 4
-        is_sq = False
     if length == UNDEFINED_LENGTH:
-        return _skip_sequence_undefined(buf, pos, explicit)
-    if is_sq or not explicit:
-        return pos + length
+        return _skip_sequence_undefined(buf, pos, explicit, e)
     return pos + length
+
+
+def _parse_encapsulated(buf: memoryview, pos: int, e: str = "<"):
+    """Parse encapsulated PixelData items (PS3.5 A.4): the Basic Offset
+    Table item, then one item per fragment, then a sequence delimiter.
+    Returns (offset_table, fragments, fragment_offsets, pos_after)."""
+    offset_table: list[int] = []
+    fragments: list[bytes] = []
+    fragment_offsets: list[int] = []
+    first = True
+    first_frag_pos = None
+    n = len(buf)
+    while pos + 8 <= n:
+        group, elem = struct.unpack_from(e + "HH", buf, pos)
+        length = struct.unpack_from(e + "I", buf, pos + 4)[0]
+        tag = (group, elem)
+        pos += 8
+        if tag == _SEQ_DELIM:
+            break
+        if tag != _ITEM:
+            raise DicomError(f"unexpected tag {tag} inside encapsulated pixel data")
+        if length == UNDEFINED_LENGTH:
+            raise DicomError("encapsulated pixel-data item with undefined length")
+        if first:
+            # Basic Offset Table (may be empty)
+            count = length // 4
+            offset_table = list(
+                struct.unpack_from(e + f"{count}I", buf, pos) if count else ()
+            )
+            first = False
+        else:
+            if first_frag_pos is None:
+                first_frag_pos = pos - 8
+            fragment_offsets.append(pos - 8 - first_frag_pos)
+            fragments.append(bytes(buf[pos : pos + length]))
+        pos += length
+    return offset_table, fragments, fragment_offsets, pos
 
 
 def _parse_dataset(
@@ -202,12 +334,14 @@ def _parse_dataset(
     explicit: bool,
     stop_group: int | None = None,
     end: int | None = None,
+    e: str = "<",
+    encapsulated: dict | None = None,
 ) -> tuple[dict, dict, int]:
     elements: dict[tuple[int, int], bytes] = {}
     vrs: dict[tuple[int, int], str] = {}
     n = len(buf) if end is None else end
     while pos + 8 <= n:
-        group, elem = struct.unpack_from("<HH", buf, pos)
+        group, elem = struct.unpack_from(e + "HH", buf, pos)
         if stop_group is not None and group != stop_group:
             break
         tag = (group, elem)
@@ -216,14 +350,28 @@ def _parse_dataset(
         if explicit and tag not in (_ITEM, _ITEM_DELIM, _SEQ_DELIM):
             vr = bytes(buf[pos : pos + 2])
             if vr in _LONG_VRS:
-                length = struct.unpack_from("<I", buf, pos + 4)[0]
+                length = struct.unpack_from(e + "I", buf, pos + 4)[0]
                 pos += 8
             else:
-                length = struct.unpack_from("<H", buf, pos + 2)[0]
+                length = struct.unpack_from(e + "H", buf, pos + 2)[0]
                 pos += 4
         else:
-            length = struct.unpack_from("<I", buf, pos)[0]
+            length = struct.unpack_from(e + "I", buf, pos)[0]
             pos += 4
+
+        if (
+            tag == TAG_PIXEL_DATA
+            and length == UNDEFINED_LENGTH
+            and encapsulated is not None
+        ):
+            ot, frags, frag_offs, pos = _parse_encapsulated(buf, pos, e)
+            encapsulated["offset_table"] = ot
+            encapsulated["fragments"] = frags
+            encapsulated["fragment_offsets"] = frag_offs
+            elements[tag] = b""
+            if vr:
+                vrs[tag] = vr.decode("ascii", errors="replace")
+            continue
 
         is_sq = vr == b"SQ" or (
             not explicit and length == UNDEFINED_LENGTH and tag != TAG_PIXEL_DATA
@@ -233,16 +381,15 @@ def _parse_dataset(
             elements[tag] = b""
             vrs[tag] = "SQ"
             if length == UNDEFINED_LENGTH:
-                pos = _skip_sequence_undefined(buf, pos, explicit)
+                pos = _skip_sequence_undefined(buf, pos, explicit, e)
             else:
                 pos += length
             continue
 
         if length == UNDEFINED_LENGTH:
-            # undefined-length non-SQ (e.g. encapsulated pixel data): unsupported
             raise DicomError(
                 "Undefined-length element outside a sequence "
-                "(encapsulated/compressed pixel data is not supported)"
+                "(encapsulated pixel data in an uncompressed transfer syntax?)"
             )
         elements[tag] = bytes(buf[pos : pos + length])
         if vr:
@@ -251,11 +398,11 @@ def _parse_dataset(
     return elements, vrs, pos
 
 
-def _looks_like_sq(buf: memoryview, pos: int, length: int) -> bool:
+def _looks_like_sq(buf: memoryview, pos: int, length: int, e: str = "<") -> bool:
     """Implicit-VR defined-length SQ detection: body starts with an Item tag."""
     if length < 8 or pos + 8 > len(buf):
         return False
-    group, elem = struct.unpack_from("<HH", buf, pos)
+    group, elem = struct.unpack_from(e + "HH", buf, pos)
     return (group, elem) == _ITEM
 
 
@@ -279,15 +426,36 @@ def parse_dicom(data: bytes) -> DicomFile:
     else:
         raise DicomError("Not a DICOM stream (too short)")
 
-    if syntax == EXPLICIT_VR_LE:
+    big_endian = False
+    if syntax in (EXPLICIT_VR_LE,) + _ENCAPSULATED_SYNTAXES:
         explicit = True
     elif syntax == IMPLICIT_VR_LE:
         explicit = False
+    elif syntax == EXPLICIT_VR_BE:
+        explicit = True
+        big_endian = True
+    elif syntax in _NAMED_UNSUPPORTED:
+        raise DicomError(
+            f"Unsupported transfer syntax: {_NAMED_UNSUPPORTED[syntax]} ({syntax})"
+        )
     else:
         raise DicomError(f"Unsupported transfer syntax: {syntax}")
 
-    elements, vrs, _ = _parse_dataset(buf, pos, explicit=explicit)
+    e = ">" if big_endian else "<"
+    encapsulated: dict = {}
+    elements, vrs, _ = _parse_dataset(
+        buf, pos, explicit=explicit, e=e, encapsulated=encapsulated
+    )
     if not any(group >= 0x0004 for group, _ in elements):
         raise DicomError("Not a DICOM stream (no dataset elements found)")
     is_dicomdir = TAG_DICOMDIR_RECORD_SEQUENCE in elements
-    return DicomFile(elements=elements, vrs=vrs, is_dicomdir=is_dicomdir)
+    return DicomFile(
+        elements=elements,
+        vrs=vrs,
+        is_dicomdir=is_dicomdir,
+        transfer_syntax=syntax,
+        fragments=encapsulated.get("fragments", []),
+        offset_table=encapsulated.get("offset_table", []),
+        fragment_offsets=encapsulated.get("fragment_offsets", []),
+        big_endian=big_endian,
+    )

@@ -18,13 +18,26 @@ import numpy as np
 from volxel_tpu.ingest.hdr import encode_hdr
 
 
-def _element(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
+def _element(group: int, elem: int, vr: bytes, value: bytes, e: str = "<") -> bytes:
     if len(value) % 2:
         value += b"\x00" if vr != b"UI" else b"\x00"
-    head = struct.pack("<HH", group, elem)
+    head = struct.pack(e + "HH", group, elem)
     if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
-        return head + vr + b"\x00\x00" + struct.pack("<I", len(value)) + value
-    return head + vr + struct.pack("<H", len(value)) + value
+        return head + vr + b"\x00\x00" + struct.pack(e + "I", len(value)) + value
+    return head + vr + struct.pack(e + "H", len(value)) + value
+
+
+def _encapsulate(fragments: list[bytes]) -> bytes:
+    """PixelData (7FE0,0010) OB undefined length: empty Basic Offset Table
+    item, one item per fragment (even-padded), sequence delimiter."""
+    out = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" + struct.pack("<I", 0xFFFFFFFF)
+    out += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty BOT
+    for frag in fragments:
+        if len(frag) % 2:
+            frag += b"\x00"
+        out += struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag
+    out += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    return out
 
 
 def write_dicom_slice(
@@ -33,30 +46,58 @@ def write_dicom_slice(
     slice_thickness: float | None = 1.0,
     bits_stored: int = 16,
     instance_number: int = 1,
+    transfer_syntax: str = "1.2.840.10008.1.2.1",
+    encoded_frames: list[bytes] | None = None,
+    bits_allocated: int = 16,
 ) -> bytes:
-    """Serialize one (rows, cols) uint16 slice as Explicit VR LE with preamble."""
-    pixels = np.ascontiguousarray(pixels, dtype="<u2")
+    """Serialize one (rows, cols) slice, preamble included.
+
+    transfer_syntax selects the encoding: Explicit VR LE (default),
+    Explicit VR BE (1.2.840.10008.1.2.2), JPEG Lossless SV1
+    (1.2.840.10008.1.2.4.70, encoded in-repo), RLE Lossless
+    (1.2.840.10008.1.2.5, encoded in-repo). For other encapsulated
+    syntaxes pass pre-encoded frame bytes via encoded_frames.
+    """
+    big_endian = transfer_syntax == "1.2.840.10008.1.2.2"
+    e = ">" if big_endian else "<"
+    pixels = np.ascontiguousarray(pixels, dtype=(e + "u2") if bits_allocated == 16 else "u1")
     rows, cols = pixels.shape
 
-    meta_body = _element(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+    meta_body = _element(0x0002, 0x0010, b"UI", transfer_syntax.encode())
     meta = (
         _element(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
     )
 
     ds = b""
-    ds += _element(0x0018, 0x0050, b"DS", str(slice_thickness).encode()) if slice_thickness is not None else b""
-    ds += _element(0x0020, 0x0013, b"IS", str(instance_number).encode())
-    ds += _element(0x0028, 0x0002, b"US", struct.pack("<H", 1))
-    ds += _element(0x0028, 0x0010, b"US", struct.pack("<H", rows))
-    ds += _element(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    ds += _element(0x0018, 0x0050, b"DS", str(slice_thickness).encode(), e) if slice_thickness is not None else b""
+    ds += _element(0x0020, 0x0013, b"IS", str(instance_number).encode(), e)
+    ds += _element(0x0028, 0x0002, b"US", struct.pack(e + "H", 1), e)
+    ds += _element(0x0028, 0x0010, b"US", struct.pack(e + "H", rows), e)
+    ds += _element(0x0028, 0x0011, b"US", struct.pack(e + "H", cols), e)
     ds += _element(
-        0x0028, 0x0030, b"DS", f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode()
+        0x0028, 0x0030, b"DS", f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode(), e
     )
-    ds += _element(0x0028, 0x0100, b"US", struct.pack("<H", 16))
-    ds += _element(0x0028, 0x0101, b"US", struct.pack("<H", bits_stored))
-    ds += _element(0x0028, 0x0102, b"US", struct.pack("<H", bits_stored - 1))
-    ds += _element(0x0028, 0x0103, b"US", struct.pack("<H", 0))
-    ds += _element(0x7FE0, 0x0010, b"OW", pixels.tobytes())
+    ds += _element(0x0028, 0x0100, b"US", struct.pack(e + "H", bits_allocated), e)
+    ds += _element(0x0028, 0x0101, b"US", struct.pack(e + "H", bits_stored), e)
+    ds += _element(0x0028, 0x0102, b"US", struct.pack(e + "H", bits_stored - 1), e)
+    ds += _element(0x0028, 0x0103, b"US", struct.pack(e + "H", 0), e)
+
+    if encoded_frames is not None:
+        ds += _encapsulate(encoded_frames)
+    elif transfer_syntax == "1.2.840.10008.1.2.4.70":
+        from volxel_tpu.ingest.jpeg import encode_lossless_sv1
+
+        ds += _encapsulate([encode_lossless_sv1(pixels, bits_stored)])
+    elif transfer_syntax == "1.2.840.10008.1.2.5":
+        from volxel_tpu.ingest.rle import encode_rle
+
+        ds += _encapsulate([encode_rle(pixels)])
+    elif transfer_syntax in ("1.2.840.10008.1.2.1", "1.2.840.10008.1.2.2"):
+        ds += _element(0x7FE0, 0x0010, b"OW", pixels.tobytes(), e)
+    else:
+        raise ValueError(
+            f"no in-repo encoder for {transfer_syntax}; pass encoded_frames"
+        )
 
     return b"\x00" * 128 + b"DICM" + meta + ds
 
@@ -66,6 +107,7 @@ def write_dicom_series(
     pixel_spacing: tuple[float, float] = (1.0, 1.0),
     slice_thickness: float = 1.0,
     bits_stored: int = 16,
+    **kwargs,
 ) -> list[bytes]:
     """(Z, Y, X) uint16 volume -> one DICOM byte blob per slice."""
     return [
@@ -75,6 +117,7 @@ def write_dicom_series(
             slice_thickness=slice_thickness,
             bits_stored=bits_stored,
             instance_number=z + 1,
+            **kwargs,
         )
         for z in range(volume.shape[0])
     ]
