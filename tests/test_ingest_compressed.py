@@ -66,6 +66,19 @@ def test_jpeg_progressive_named_error():
         jpeg.decode(buf.getvalue())
 
 
+def test_jpeg_lossless_native_matches_python(ct_slice, monkeypatch):
+    """The C++ scan decoder and the Python loop must agree bit-exactly."""
+    import volxel_tpu.native.loader as loader
+
+    if not loader.native_available():
+        pytest.skip("no native toolchain")
+    enc = jpeg.encode_lossless_sv1(ct_slice, precision=12)
+    native = jpeg.decode(enc)
+    monkeypatch.setattr(loader, "native_available", lambda: False)
+    python = jpeg.decode(enc)
+    assert np.array_equal(native, python)
+
+
 def test_rle_roundtrip(ct_slice):
     enc = rle.encode_rle(ct_slice)
     assert np.array_equal(rle.decode_rle(enc, *ct_slice.shape, 16), ct_slice)

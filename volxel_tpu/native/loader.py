@@ -62,6 +62,16 @@ def get_native():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.volxel_jpeg_lossless_chunk.restype = ctypes.c_int64
+        lib.volxel_jpeg_lossless_chunk.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32),
+            *([ctypes.c_int64] * 4),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
         lib.volxel_fill_atlas.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             *([ctypes.c_int64] * 6),
@@ -103,6 +113,38 @@ def scan_u16(data: np.ndarray, bins: int) -> tuple[np.ndarray, int, int]:
         ctypes.byref(hi),
     )
     return hist, int(lo.value), int(hi.value)
+
+
+def jpeg_lossless_chunk(
+    data: bytes,
+    lut: np.ndarray,
+    out: np.ndarray,
+    w: int,
+    start_idx: int,
+    n_samples: int,
+    predictor: int,
+    default_pred: int,
+) -> int:
+    """Native JPEG-lossless scan decode of one restart interval.
+
+    `out` is the full (h*w,) int32 image buffer, filled in place starting
+    at start_idx. Returns samples decoded (or -1 on an invalid code).
+    """
+    lib = get_native()
+    padded = np.frombuffer(data + b"\x00" * 8, np.uint8)
+    h = out.size // w
+    return lib.volxel_jpeg_lossless_chunk(
+        _ptr(padded, ctypes.c_uint8),
+        len(data),
+        _ptr(lut, ctypes.c_uint32),
+        _ptr(out, ctypes.c_int32),
+        w,
+        h,
+        start_idx,
+        n_samples,
+        predictor,
+        default_pred,
+    )
 
 
 def brick_construct(data: np.ndarray, bx: int, by: int, bz: int):

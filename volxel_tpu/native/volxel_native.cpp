@@ -229,4 +229,76 @@ void volxel_fill_atlas(const float* data, int64_t ex, int64_t ey, int64_t ez,
   });
 }
 
+// JPEG lossless (process 14) scan decode: Huffman diffs + prediction.
+// Bit-exact counterpart of ingest/jpeg.py::_decode_lossless's inner loop —
+// the hot path of compressed CT ingest (the reference decodes via the
+// dicom-pixeldata jpeg feature, Cargo.toml:25). `lut` is the Python-built
+// 64K peek table: (code length << 16) | symbol for every 16-bit prefix.
+// Decodes n_samples starting at flat index start_idx of a (h, w) image.
+// Returns samples decoded, or -1 on an invalid Huffman code.
+int64_t volxel_jpeg_lossless_chunk(
+    const uint8_t* data, int64_t nbytes, const uint32_t* lut, int32_t* out,
+    int64_t w, int64_t h, int64_t start_idx, int64_t n_samples,
+    int32_t predictor, int32_t default_pred) {
+  (void)h;
+  int64_t bitpos = 0;
+  const int64_t nbits = nbytes * 8;
+  bool first_of_interval = true;
+  for (int64_t i = 0; i < n_samples; ++i) {
+    if (bitpos + 16 > nbits + 64) return -1;  // padded reads past data => bad
+    int64_t byte = bitpos >> 3;
+    int sh = (int)(bitpos & 7);
+    uint32_t win = ((uint32_t)data[byte] << 16) |
+                   ((uint32_t)data[byte + 1] << 8) | (uint32_t)data[byte + 2];
+    uint32_t peek = (win >> (8 - sh)) & 0xFFFF;
+    uint32_t v = lut[peek];
+    int len = (int)(v >> 16);
+    if (len == 0) return -1;
+    int s = (int)(v & 0xFFFF);
+    bitpos += len;
+    int32_t diff;
+    if (s == 16) {
+      diff = 32768;
+    } else if (s == 0) {
+      diff = 0;
+    } else {
+      byte = bitpos >> 3;
+      sh = (int)(bitpos & 7);
+      uint64_t win4 = ((uint64_t)data[byte] << 24) |
+                      ((uint64_t)data[byte + 1] << 16) |
+                      ((uint64_t)data[byte + 2] << 8) |
+                      (uint64_t)data[byte + 3];
+      uint32_t bits = (uint32_t)((win4 >> (32 - sh - s)) & ((1u << s) - 1));
+      bitpos += s;
+      // T.81 F.2.2.1 sign extension
+      diff = (bits < (1u << (s - 1))) ? (int32_t)bits - (1 << s) + 1
+                                      : (int32_t)bits;
+    }
+    int64_t j = start_idx + i;
+    int64_t y = j / w, x = j - y * w;
+    int32_t px;
+    if (first_of_interval || (y == 0 && x == 0)) {
+      px = default_pred;
+      first_of_interval = false;
+    } else if (y == 0) {
+      px = out[j - 1];
+    } else if (x == 0) {
+      px = out[j - w];
+    } else {
+      int32_t ra = out[j - 1], rb = out[j - w], rc = out[j - w - 1];
+      switch (predictor) {
+        case 1: px = ra; break;
+        case 2: px = rb; break;
+        case 3: px = rc; break;
+        case 4: px = ra + rb - rc; break;
+        case 5: px = ra + ((rb - rc) >> 1); break;
+        case 6: px = rb + ((ra - rc) >> 1); break;
+        default: px = (ra + rb) >> 1; break;
+      }
+    }
+    out[j] = (px + diff) & 0xFFFF;
+  }
+  return n_samples;
+}
+
 }  // extern "C"
