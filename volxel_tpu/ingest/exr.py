@@ -3,8 +3,9 @@
 Covers the common scanline EXR variants an environment-map workflow meets
 (the reference delegates this to the Rust `image` crate, hdr.rs:23-36):
 single-part scanline images, HALF/FLOAT channels, compression NONE, ZIPS
-(1 line/chunk) and ZIP (16 lines/chunk — the OpenEXR default). Tiled,
-deep, multi-part, PIZ/PXR24/B44/DWA files raise EnvDecodeError.
+(1 line/chunk), ZIP (16 lines/chunk) and PIZ (32 lines/chunk — the single
+most common wild HDRI compression; codec in ingest/piz.py). Tiled, deep,
+multi-part, PXR24/B44/DWA files raise EnvDecodeError.
 
 Output: (height, width, 4) float32 RGBA, row 0 = image top (dataWindow
 yMin), alpha 1 where absent — same contract as decode_hdr.
@@ -106,14 +107,30 @@ def decode_exr(data: bytes) -> np.ndarray:
     height = y_max - y_min + 1
 
     if compression == 0:
-        lines_per_chunk, decomp = 1, lambda b, expected: b
+        lines_per_chunk, decomp = 1, lambda b, expected, rows: b
     elif compression == 2:  # ZIPS
-        lines_per_chunk, decomp = 1, lambda b, expected: _maybe_unzip(b, expected)
+        lines_per_chunk, decomp = 1, lambda b, expected, rows: _maybe_unzip(b, expected)
     elif compression == 3:  # ZIP
-        lines_per_chunk, decomp = 16, lambda b, expected: _maybe_unzip(b, expected)
+        lines_per_chunk, decomp = 16, lambda b, expected, rows: _maybe_unzip(b, expected)
+    elif compression == 4:  # PIZ
+        from volxel_tpu.ingest.piz import PizError, piz_uncompress
+
+        piz_channels = [
+            (_PIXEL_SIZES[pt] // 2, _PIXEL_SIZES[pt]) for _, pt in channels
+        ]
+
+        def _unpiz(b, expected, rows):
+            if len(b) == expected:
+                return b  # writer stored raw when compression didn't help
+            try:
+                return piz_uncompress(b, piz_channels, width, rows)
+            except PizError as e:
+                raise EnvDecodeError(f"PIZ decode failed: {e}") from e
+
+        lines_per_chunk, decomp = 32, _unpiz
     else:
         raise EnvDecodeError(
-            f"EXR compression {compression} not supported (NONE/ZIPS/ZIP only)"
+            f"EXR compression {compression} not supported (NONE/ZIPS/ZIP/PIZ only)"
         )
 
     n_chunks = -(-height // lines_per_chunk)
@@ -131,7 +148,7 @@ def decode_exr(data: bytes) -> np.ndarray:
         payload = bytes(buf[off + 8 : off + 8 + chunk_size])
         rows = min(lines_per_chunk, y_max - y + 1)
         expected = rows * sum(ch_sizes[n] for n, _ in channels) * width
-        payload = decomp(payload, expected)
+        payload = decomp(payload, expected, rows)
         if len(payload) != expected:
             raise EnvDecodeError("EXR chunk size mismatch")
         p = 0
@@ -162,6 +179,73 @@ def _maybe_unzip(payload: bytes, expected: int) -> bytes:
     if len(payload) == expected:
         return payload
     return _unzip_block(payload)
+
+
+def encode_exr_piz(image: np.ndarray, half: bool = True) -> bytes:
+    """Write a PIZ-compressed scanline EXR (HALF or FLOAT RGB), shaped like
+    a typical polyhaven HDRI export (extra string/chromaticities attrs,
+    B/G/R channel order, 32-line chunks). Fixture/test writer."""
+    from volxel_tpu.ingest.piz import piz_compress
+
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[:2]
+    ptype = 1 if half else 2
+    nbytes = 2 if half else 4
+
+    def attr(name: bytes, typ: bytes, value: bytes) -> bytes:
+        return name + b"\x00" + typ + b"\x00" + struct.pack("<i", len(value)) + value
+
+    names = [b"B", b"G", b"R"]
+    chan = b""
+    for n in names:
+        chan += n + b"\x00" + struct.pack("<iBBBBii", ptype, 0, 0, 0, 0, 1, 1)
+    chan += b"\x00"
+
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = b""
+    header += attr(b"channels", b"chlist", chan)
+    header += attr(
+        b"chromaticities",
+        b"chromaticities",
+        struct.pack("<8f", 0.64, 0.33, 0.3, 0.6, 0.15, 0.06, 0.3127, 0.329),
+    )
+    header += attr(b"comments", b"string", b"synthetic polyhaven-style fixture")
+    header += attr(b"compression", b"compression", b"\x04")  # PIZ
+    header += attr(b"dataWindow", b"box2i", box)
+    header += attr(b"displayWindow", b"box2i", box)
+    header += attr(b"lineOrder", b"lineOrder", b"\x00")
+    header += attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+    header += attr(b"screenWindowCenter", b"v2f", struct.pack("<2f", 0, 0))
+    header += attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+    header += b"\x00"
+
+    head = struct.pack("<IBBBB", MAGIC, 2, 0, 0, 0) + header
+    dt = "<f2" if half else "<f4"
+    idx = {b"R": 0, b"G": 1, b"B": 2}
+    piz_channels = [(nbytes // 2, nbytes)] * len(names)
+
+    n_chunks = -(-h // 32)
+    chunks = []
+    for c in range(n_chunks):
+        y0 = c * 32
+        rows = min(32, h - y0)
+        raw = b"".join(
+            np.ascontiguousarray(img[y0 + r, :, idx[n]]).astype(dt).tobytes()
+            for r in range(rows)
+            for n in names
+        )
+        payload = piz_compress(raw, piz_channels, w, rows)
+        if len(payload) >= len(raw):
+            payload = raw  # store raw when compression doesn't help
+        chunks.append(struct.pack("<ii", y0, len(payload)) + payload)
+
+    table_pos = len(head)
+    pos = table_pos + 8 * n_chunks
+    offsets = []
+    for chunk in chunks:
+        offsets.append(pos)
+        pos += len(chunk)
+    return head + struct.pack(f"<{n_chunks}q", *offsets) + b"".join(chunks)
 
 
 def encode_exr_uncompressed(image: np.ndarray) -> bytes:
