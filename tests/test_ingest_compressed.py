@@ -173,15 +173,39 @@ def test_dicom_jpegls_named_rejection(ct_slice):
         parse_dicom(blob)
 
 
-def test_dicom_j2k_named_rejection(ct_slice):
+def test_dicom_j2k_lossless_bitmatch(ct_slice):
+    """JPEG 2000 lossless via OpenJPEG (cv2) — matches the reference's
+    dicom-pixeldata native decoding of .90."""
+    cv2 = pytest.importorskip("cv2")
+    ok, buf = cv2.imencode(
+        ".jp2", ct_slice, [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000]
+    )
+    assert ok
     blob = write_dicom_slice(
         ct_slice,
         bits_stored=12,
         transfer_syntax="1.2.840.10008.1.2.4.90",
-        encoded_frames=[b"\x00" * 8],
+        encoded_frames=[buf.tobytes()],
     )
-    with pytest.raises(DicomError, match="JPEG 2000"):
-        parse_dicom(blob)
+    assert np.array_equal(_pixels(blob), ct_slice)
+
+
+def test_dicom_j2k_raw_codestream(ct_slice):
+    """DICOM J2K fragments are usually bare codestreams (no JP2 container)."""
+    cv2 = pytest.importorskip("cv2")
+    ok, buf = cv2.imencode(
+        ".jp2", ct_slice, [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000]
+    )
+    data = buf.tobytes()
+    start = data.find(b"\xff\x4f\xff\x51")
+    assert start > 0
+    blob = write_dicom_slice(
+        ct_slice,
+        bits_stored=12,
+        transfer_syntax="1.2.840.10008.1.2.4.90",
+        encoded_frames=[data[start:]],
+    )
+    assert np.array_equal(_pixels(blob), ct_slice)
 
 
 def test_compressed_series_through_full_ingest(ct_slice):

@@ -39,12 +39,11 @@ JPEG_2000 = "1.2.840.10008.1.2.4.91"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 
 _JPEG_SYNTAXES = (JPEG_BASELINE, JPEG_EXTENDED, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1)
-_ENCAPSULATED_SYNTAXES = _JPEG_SYNTAXES + (RLE_LOSSLESS,)
+_J2K_SYNTAXES = (JPEG_2000_LOSSLESS, JPEG_2000)
+_ENCAPSULATED_SYNTAXES = _JPEG_SYNTAXES + _J2K_SYNTAXES + (RLE_LOSSLESS,)
 _NAMED_UNSUPPORTED = {
     JPEG_LS_LOSSLESS: "JPEG-LS Lossless",
     JPEG_LS_NEAR: "JPEG-LS Near-Lossless",
-    JPEG_2000_LOSSLESS: "JPEG 2000 Lossless",
-    JPEG_2000: "JPEG 2000",
 }
 
 # tags (group, element) — reference lib.rs:36-45
@@ -213,6 +212,29 @@ class DicomFile:
                         f"JPEG frame shape {img.shape} != ({rows}, {cols})"
                     )
                 out[i] = img
+        elif syntax in _J2K_SYNTAXES:
+            try:
+                import cv2
+            except ImportError as e:
+                raise DicomError(
+                    "JPEG 2000 pixel data needs OpenCV (cv2 with OpenJPEG); "
+                    "not available in this environment"
+                ) from e
+            for i, stream in enumerate(streams):
+                img = cv2.imdecode(
+                    np.frombuffer(stream, np.uint8), cv2.IMREAD_UNCHANGED
+                )
+                if img is None:
+                    raise DicomError("JPEG 2000 decode failed (OpenJPEG)")
+                if img.ndim != 2:
+                    raise DicomError(
+                        "More than one sample per pixel not currently supported"
+                    )
+                if img.shape != (rows, cols):
+                    raise DicomError(
+                        f"JPEG 2000 frame shape {img.shape} != ({rows}, {cols})"
+                    )
+                out[i] = img.astype(np.uint16)
         elif syntax == RLE_LOSSLESS:
             from volxel_tpu.ingest import rle
 
