@@ -104,3 +104,58 @@ def test_histogram_view_data():
     assert bars[2] == pytest.approx(np.log10(10) / np.log10(1000))
     assert alpha[1] == pytest.approx(1.0)
     assert 0 <= alpha.min() and alpha.max() <= 1
+
+
+# -- light-direction cube model (cubeDirection.ts) --------------------------------
+
+
+def test_lightcube_initial_direction():
+    from volxel_tpu.utils.lightcube import LightDirectionCube
+    import math
+
+    cube = LightDirectionCube()
+    d = cube.direction
+    # pitch -20, yaw 45 (cubeDirection.ts:110-111)
+    rx, ry = math.radians(-20), math.radians(45)
+    assert d == (
+        -math.cos(rx) * math.sin(ry),
+        math.sin(rx),
+        math.cos(rx) * math.cos(ry),
+    )
+
+
+def test_lightcube_set_get_roundtrip():
+    from volxel_tpu.utils.lightcube import LightDirectionCube
+    import numpy as np
+
+    cube = LightDirectionCube()
+    for vec in ([0, 1, 0], [1, 2, 3], [-0.3, 0.5, -0.8]):
+        cube.direction = vec
+        got = np.array(cube.direction)
+        want = np.array(vec, float)
+        want /= np.linalg.norm(want)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_lightcube_drag_clamps_pitch():
+    from volxel_tpu.utils.lightcube import LightDirectionCube
+
+    cube = LightDirectionCube()
+    events = []
+    cube.on_change(events.append)
+    cube.drag(10, 0)  # yaw += 5 degrees
+    assert cube.yaw == 50.0
+    cube.drag(0, -1000)  # pitch would exceed +90
+    assert cube.pitch == 90.0
+    assert len(events) == 2
+
+
+def test_lightcube_drives_settings():
+    from volxel_tpu.utils.lightcube import LightDirectionCube
+    from volxel_tpu.api.settings import ViewerSettings
+
+    s = ViewerSettings()
+    cube = LightDirectionCube()
+    cube.on_change(lambda d: setattr(s, "light_dir", list(d)))
+    cube.drag(40, -12)
+    assert s.light_dir == list(cube.direction)

@@ -44,6 +44,9 @@ _ENCAPSULATED_SYNTAXES = _JPEG_SYNTAXES + _J2K_SYNTAXES + (RLE_LOSSLESS,)
 _NAMED_UNSUPPORTED = {
     JPEG_LS_LOSSLESS: "JPEG-LS Lossless",
     JPEG_LS_NEAR: "JPEG-LS Near-Lossless",
+    "1.2.840.10008.1.2.4.110": "JPEG XL Lossless",
+    "1.2.840.10008.1.2.4.111": "JPEG XL Recompression",
+    "1.2.840.10008.1.2.4.112": "JPEG XL",
 }
 
 # tags (group, element) — reference lib.rs:36-45
