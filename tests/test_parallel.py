@@ -79,3 +79,23 @@ def test_indivisible_pixel_count_rejected(setup):
     mesh = make_mesh(sp=1, px=8)
     with pytest.raises(ValueError):
         render_sample_sharded(config, mesh, *operands, jnp.uint32(0))
+
+
+def test_multihost_single_process_noop(monkeypatch):
+    """initialize_multihost is a no-op without multi-process environment."""
+    from volxel_tpu.parallel import initialize_multihost, process_info
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_multihost() is False
+    info = process_info()
+    assert info["process_count"] == 1
+    assert info["distributed"] is False
+    assert info["global_device_count"] == 8
+
+
+def test_multihost_explicit_single_process(monkeypatch):
+    from volxel_tpu.parallel import initialize_multihost
+
+    assert initialize_multihost(num_processes=1) is False
