@@ -148,6 +148,26 @@ def cmd_benchmark(args) -> None:
     print(f"wrote {args.out}")
 
 
+def cmd_serve(args) -> None:
+    from volxel_tpu import Renderer, load_settings
+    from volxel_tpu.api.server import PreviewServer
+
+    w, h = (int(v) for v in args.size.split("x"))
+    if args.mesh:
+        from volxel_tpu.parallel.distributed import DistributedRenderer
+
+        sp, px, vz = (int(v) for v in args.mesh.split(","))
+        r = DistributedRenderer(width=w, height=h, sp=sp, px=px, vz=vz)
+    else:
+        r = Renderer(width=w, height=h)
+    _load_volume(args, r)
+    if args.env:
+        r.load_env(Path(args.env).read_bytes())
+    if args.settings:
+        r.restore_settings(load_settings(Path(args.settings)))
+    PreviewServer(r, host=args.host, port=args.port).serve_forever()
+
+
 def cmd_info(_args) -> None:
     import jax
 
@@ -185,6 +205,16 @@ def main(argv=None) -> None:
     p.add_argument("--out", default="benchmark_results.json")
     _add_volume_args(p)
     p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("serve", help="interactive preview server (live orbit/zoom/clip)")
+    _add_volume_args(p)
+    p.add_argument("--size", default="960x540", help="render size WxH")
+    p.add_argument("--env", help="HDR/EXR environment map")
+    p.add_argument("--settings", help="settings JSON (v1-v3 exports)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--mesh", help="sp,px,vz distributed mesh (e.g. 2,2,2)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("info", help="device/backend report")
     p.set_defaults(fn=cmd_info)

@@ -1,0 +1,307 @@
+"""Interactive preview server: live frames + orbit/zoom/pan/clip over HTTP.
+
+The reference is a live browser component (viewer.ts:1183-1293 rAF loop,
+input wiring util.ts:30-143). Here the renderer runs server-side on the
+accelerator and any browser is the display: a background thread renders
+progressive samples continuously and encodes PNGs; HTTP serves
+
+  GET  /            the embedded viewer page (drag = orbit, shift-drag =
+                    pan, wheel = zoom, right-drag = clip planes — the
+                    reference's exact input mapping incl. the pi/max(w,h)
+                    drag scale and 0.9/1.1 wheel factors)
+  GET  /frame.png   latest tonemapped frame
+  GET  /stream      multipart/x-mixed-replace live stream of frames
+  GET  /state       JSON: samples rendered, size, settings export
+  POST /input       {"type": rotate|pan|zoom|clip_*, ...} input commands
+  POST /settings    partial ViewerSettings update
+
+All renderer access happens on the render thread (the renderer is not
+thread-safe); handlers enqueue commands and read the cached PNG. Every
+scene change resets accumulation — the reference's restartRendering
+contract (viewer.ts:1155-1181). Works with Renderer or DistributedRenderer
+(config 3's interactive orbit loop on a mesh).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import math
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>volxel_tpu preview</title><style>
+body { margin: 0; background: #111; color: #ddd; font: 13px sans-serif; }
+#wrap { display: flex; flex-direction: column; align-items: center; gap: 8px; padding: 12px; }
+#view { cursor: grab; touch-action: none; max-width: 96vw; }
+#bar { opacity: 0.8 }
+</style></head><body><div id="wrap">
+<img id="view" src="/stream" draggable="false">
+<div id="bar">drag orbit &middot; shift-drag pan &middot; wheel zoom &middot; right-drag clip &middot; <span id="stat"></span></div>
+</div><script>
+const view = document.getElementById('view');
+const stat = document.getElementById('stat');
+let dragging = false, moving = false, right = false, last = null;
+function post(cmd) { fetch('/input', {method: 'POST', body: JSON.stringify(cmd)}); }
+function ndc(e) {
+  const r = view.getBoundingClientRect();
+  return [ (e.clientX - r.left) / r.width * 2 - 1,
+           -((e.clientY - r.top) / r.height * 2 - 1) ];
+}
+view.addEventListener('contextmenu', e => e.preventDefault());
+view.addEventListener('pointerdown', e => {
+  e.preventDefault(); view.setPointerCapture(e.pointerId);
+  right = e.button === 2;
+  if (e.shiftKey && !right) moving = true; else dragging = true;
+  last = [e.clientX, e.clientY];
+  if (right) post({type: 'clip_begin', ndc: ndc(e)});
+});
+view.addEventListener('pointermove', e => {
+  const r = view.getBoundingClientRect();
+  if (!dragging && !moving) { post({type: 'clip_hover', ndc: ndc(e)}); return; }
+  const d = [e.clientX - last[0], e.clientY - last[1]];
+  last = [e.clientX, e.clientY];
+  const s = Math.max(r.width, r.height);
+  if (moving) post({type: 'pan', by: [d[0] / s, d[1] / s]});
+  else if (right) post({type: 'clip_drag', ndc: ndc(e)});
+  else post({type: 'rotate', by: [d[0] * Math.PI / s, d[1] * Math.PI / s]});
+});
+function stop(e) {
+  if (right) post({type: 'clip_end'});
+  dragging = moving = right = false;
+}
+view.addEventListener('pointerup', stop);
+view.addEventListener('pointercancel', stop);
+view.addEventListener('wheel', e => {
+  e.preventDefault();
+  post({type: 'zoom', by: e.deltaY < 0 ? 0.9 : (e.deltaY > 0 ? 1.1 : 1.0)});
+}, {passive: false});
+setInterval(async () => {
+  const s = await (await fetch('/state')).json();
+  stat.textContent = s.samples + ' samples';
+}, 1000);
+</script></body></html>"""
+
+
+class PreviewServer:
+    def __init__(self, renderer, host: str = "127.0.0.1", port: int = 8000):
+        self.renderer = renderer
+        self.host = host
+        self.port = port
+        self._commands: queue.Queue = queue.Queue()
+        self._png: bytes = b""
+        self._png_version = 0
+        self._png_cond = threading.Condition()
+        self._running = False
+        self._render_thread: threading.Thread | None = None
+        self._httpd: ThreadingHTTPServer | None = None
+        self._clip = None
+
+    # -- render thread ---------------------------------------------------------
+
+    def _apply(self, cmd: dict) -> bool:
+        """Apply one input command; returns True if the scene changed
+        (accumulation must restart — viewer.ts:443-464)."""
+        r = self.renderer
+        t = cmd.get("type")
+        if t == "rotate":
+            bx, by = cmd["by"]
+            r.camera.rotate_around_view(float(bx), float(by))
+            r.maybe_sync_light()
+            return True
+        if t == "pan":
+            bx, by = cmd["by"]
+            r.camera.translate_on_plane(float(bx), float(by))
+            return True
+        if t == "zoom":
+            return bool(r.camera.zoom(float(cmd["by"])))
+        if t == "clip_hover":
+            if self._clip is None:
+                self._clip = r.make_clip_controller()
+            w, h = r.width, r.height
+            face = self._clip.hover(
+                np.asarray(cmd["ndc"], np.float32), aspect=w / h
+            )
+            return face is not None  # highlight change re-renders overlay
+        if t == "clip_begin":
+            if self._clip is None:
+                self._clip = r.make_clip_controller()
+            w, h = r.width, r.height
+            self._clip.hover(np.asarray(cmd["ndc"], np.float32), aspect=w / h)
+            return self._clip.begin_drag()
+        if t == "clip_drag":
+            if self._clip is None:
+                return False
+            w, h = r.width, r.height
+            self._clip.drag(np.asarray(cmd["ndc"], np.float32), aspect=w / h)
+            return True
+        if t == "clip_end":
+            if self._clip is not None:
+                self._clip.end_drag()
+            return False
+        if t == "settings":
+            for key, value in cmd.get("values", {}).items():
+                if not hasattr(r.settings, key):
+                    raise ValueError(f"unknown setting {key!r}")
+                setattr(r.settings, key, value)
+            return True
+        raise ValueError(f"unknown input command {t!r}")
+
+    def _encode_frame(self) -> None:
+        from PIL import Image
+
+        img = self.renderer.image(show_clipping=True)
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8), "RGB"
+        ).save(buf, "PNG")
+        with self._png_cond:
+            self._png = buf.getvalue()
+            self._png_version += 1
+            self._png_cond.notify_all()
+
+    def _render_loop(self) -> None:
+        r = self.renderer
+        while self._running:
+            changed = False
+            try:
+                while True:
+                    cmd = self._commands.get_nowait()
+                    try:
+                        changed |= self._apply(cmd)
+                    except Exception as e:  # bad input must not kill the loop
+                        print(f"preview: input error: {e}")
+            except queue.Empty:
+                pass
+            if changed:
+                r.restart_rendering()
+            if r.frame_index * getattr(r, "sp", 1) < r.settings.max_samples:
+                r.render_frame()
+                self._encode_frame()
+            else:
+                time.sleep(0.02)  # converged; idle until input
+
+    # -- HTTP ------------------------------------------------------------------
+
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/":
+                    self._send(200, "text/html", _PAGE.encode())
+                elif self.path == "/frame.png":
+                    with server._png_cond:
+                        png = server._png
+                    if not png:
+                        self._send(503, "text/plain", b"no frame yet")
+                    else:
+                        self._send(200, "image/png", png)
+                elif self.path == "/state":
+                    r = server.renderer
+                    state = {
+                        "samples": r.frame_index * getattr(r, "sp", 1),
+                        "width": r.width,
+                        "height": r.height,
+                        "settings": r.export_settings(),
+                    }
+                    self._send(200, "application/json", json.dumps(state).encode())
+                elif self.path == "/stream":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=frame",
+                    )
+                    self.end_headers()
+                    version = -1
+                    try:
+                        while server._running:
+                            with server._png_cond:
+                                server._png_cond.wait_for(
+                                    lambda: server._png_version != version
+                                    or not server._running,
+                                    timeout=1.0,
+                                )
+                                png = server._png
+                                version = server._png_version
+                            if not png:
+                                continue
+                            self.wfile.write(
+                                b"--frame\r\nContent-Type: image/png\r\n"
+                                + f"Content-Length: {len(png)}\r\n\r\n".encode()
+                            )
+                            self.wfile.write(png)
+                            self.wfile.write(b"\r\n")
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    self._send(400, "text/plain", b"bad json")
+                    return
+                if self.path == "/input":
+                    server._commands.put(body)
+                    self._send(200, "application/json", b'{"ok": true}')
+                elif self.path == "/settings":
+                    server._commands.put({"type": "settings", "values": body})
+                    self._send(200, "application/json", b'{"ok": true}')
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+        return Handler
+
+    # -- lifecycle ---------------------------------------------------------------
+
+    def start(self) -> int:
+        """Start render thread + HTTP server (non-blocking). Returns port."""
+        self._running = True
+        self._httpd = ThreadingHTTPServer(
+            (self.host, self.port), self._handler_class()
+        )
+        self.port = self._httpd.server_address[1]
+        self._render_thread = threading.Thread(
+            target=self._render_loop, name="preview-render", daemon=True
+        )
+        self._render_thread.start()
+        threading.Thread(
+            target=self._httpd.serve_forever, name="preview-http", daemon=True
+        ).start()
+        return self.port
+
+    def stop(self) -> None:
+        self._running = False
+        with self._png_cond:
+            self._png_cond.notify_all()
+        if self._httpd is not None:
+            self._httpd.shutdown()
+        if self._render_thread is not None:
+            self._render_thread.join(timeout=10)
+
+    def serve_forever(self) -> None:
+        self.start()
+        print(f"preview server on http://{self.host}:{self.port}/")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            self.stop()
