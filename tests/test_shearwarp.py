@@ -1,0 +1,106 @@
+"""Shear-warp DVR: XLA reference vs Pallas kernel (render/shearwarp.py).
+
+North-star Pallas item, attempt #2. The Pallas kernel streams slices
+through VMEM with persistent accumulators; on CPU it runs in interpreter
+mode (Mosaic semantics, no hardware), the TPU A/B lives in
+bench_shearwarp.py / NOTES.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volxel_tpu.render.shearwarp import (
+    render_dvr,
+    shear_parameters,
+)
+from volxel_tpu.transfer.function import generate_transfer_function
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(0)
+    vol = np.zeros((32, 24, 40), np.float32)
+    vol[8:24, 6:18, 10:30] = rng.random((16, 12, 20)).astype(np.float32)
+    lut = jnp.asarray(
+        generate_transfer_function(
+            [
+                {"color": [1.0, 0.5, 0.2, 0.3], "stop": 0.0},
+                {"color": [0.2, 0.6, 1.0, 0.9], "stop": 1.0},
+            ]
+        )
+    )
+    return jnp.asarray(vol), lut
+
+
+def test_shear_parameters_axes():
+    perm, flip, sx, sy = shear_parameters([0.1, 0.2, 0.9])
+    assert perm == (0, 1, 2) and not flip
+    perm, flip, _, _ = shear_parameters([0.1, 0.2, -0.9])
+    assert flip
+    perm, _, sx, sy = shear_parameters([-0.9, 0.1, 0.2])
+    assert perm == (2, 1, 0)
+    # shear magnitudes never exceed 1 (principal axis dominates)
+    for vd in ([0.5, 0.5, 0.6], [1, 1, 1], [-0.7, 0.2, 0.7]):
+        _, _, sx, sy = shear_parameters(vd)
+        assert abs(sx) <= 1.0 + 1e-9 and abs(sy) <= 1.0 + 1e-9
+
+
+@pytest.mark.parametrize(
+    "view_dir", [[0.2, 0.3, 0.9], [-0.9, 0.1, 0.3], [0.1, -0.8, 0.2], [0, 0, 1]]
+)
+def test_pallas_matches_xla(scene, view_dir):
+    vol, lut = scene
+    cx, tx = render_dvr(vol, lut, view_dir, vol_maj=1.0, use_pallas=False)
+    cp, tp = render_dvr(
+        vol, lut, view_dir, vol_maj=1.0, use_pallas=True, interpret=True
+    )
+    assert cx.shape == cp.shape
+    np.testing.assert_allclose(np.asarray(cx), np.asarray(cp), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tx), np.asarray(tp), atol=2e-5)
+
+
+def test_dvr_renders_content(scene):
+    vol, lut = scene
+    c, t = render_dvr(vol, lut, [0.2, 0.3, 0.9], vol_maj=1.0, use_pallas=False)
+    c, t = np.asarray(c), np.asarray(t)
+    assert np.isfinite(c).all() and c.max() > 0.05
+    assert (t >= 0).all() and (t <= 1).all()
+    assert t.min() < 0.9  # the box actually absorbs
+
+
+def test_dvr_energy_conservation(scene):
+    """C + T <= 1 per channel when LUT colors are <= 1 (over-operator)."""
+    vol, lut = scene
+    c, t = render_dvr(vol, lut, [0.3, 0.2, 0.9], vol_maj=1.0, use_pallas=False)
+    assert (np.asarray(c).max(axis=-1) <= 1.0 - np.asarray(t) + 1e-5).all()
+
+
+def test_gather_probe():
+    """Documents the Mosaic gather surface this design is built around:
+    same-shape row-local take_along_axis with 128-wide rows lowers; that
+    covers the 128-entry transfer LUT but NOT per-ray volume taps — hence
+    shear-warp (gather-free slice translation) rather than a Pallas DDA.
+    Runs in interpreter mode on CPU; on TPU hardware the same op was
+    verified to lower natively (see NOTES.md round-2 probes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    tab = jnp.asarray(rng.random((256, 128)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 128, (256, 128)), jnp.int32)
+
+    def k(tab_ref, idx_ref, out_ref):
+        out_ref[:] = jnp.take_along_axis(tab_ref[:], idx_ref[:], axis=1)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = pl.pallas_call(
+            k,
+            out_shape=jax.ShapeDtypeStruct((256, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(tab, idx)
+    assert np.array_equal(
+        np.asarray(out), np.take_along_axis(np.asarray(tab), np.asarray(idx), 1)
+    )

@@ -75,7 +75,9 @@ def _round_mip(mip):
 # ---------------------------------------------------------------------------
 
 
-def sample_volume_dda(grid, params, lut, origin, direction, state, active):
+def sample_volume_dda(
+    grid, params, lut, origin, direction, state, active, with_stats: bool = False
+):
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
     )
@@ -101,7 +103,9 @@ def sample_volume_dda(grid, params, lut, origin, direction, state, active):
 
     def cond(carry):
         _, _, _, _, running, _, _, steps = carry
-        return jnp.any(running) & (steps[0] < DDA_SAMPLE_MAX_STEPS)
+        # per-lane personal counts: every still-running lane has been
+        # running since iteration 0, so max(steps) == iteration count
+        return jnp.any(running) & (jnp.max(steps) < DDA_SAMPLE_MAX_STEPS)
 
     def body(carry):
         state_in, t, tau, mip, running, hit, rgb_out, steps = carry
@@ -154,16 +158,27 @@ def sample_volume_dda(grid, params, lut, origin, direction, state, active):
         # counts stay independent of the wavefront's iteration count, so
         # results are identical under any pixel sharding
         state = jnp.where(running[..., None], state, state_in)
+        steps = steps + running.astype(jnp.int32)
         running = running & ~stop & (t < far)
-        return (state, t, tau, mip, running, hit, rgb_out, steps + 1)
+        return (state, t, tau, mip, running, hit, rgb_out, steps)
 
-    state, t, _, _, _, hit, rgb, _ = jax.lax.while_loop(cond, body, init)
+    state, t, _, _, _, hit, rgb, steps = jax.lax.while_loop(cond, body, init)
     le_add = jnp.zeros((n, 3), jnp.float32)  # emission stub (common.glsl:87-88)
+    if with_stats:
+        return state, hit, t, rgb, le_add, steps
     return state, hit, t, rgb, le_add
 
 
 def transmittance_dda(
-    grid, params, lut, origin, direction, state, active, physical: bool = False
+    grid,
+    params,
+    lut,
+    origin,
+    direction,
+    state,
+    active,
+    physical: bool = False,
+    with_stats: bool = False,
 ):
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
@@ -189,7 +204,7 @@ def transmittance_dda(
 
     def cond(carry):
         _, _, _, _, running, _, steps = carry
-        return jnp.any(running) & (steps[0] < DDA_TRANSMITTANCE_MAX_STEPS)
+        return jnp.any(running) & (jnp.max(steps) < DDA_TRANSMITTANCE_MAX_STEPS)
 
     def body(carry):
         state_in, t, tau, mip, running, tr, steps = carry
@@ -256,10 +271,13 @@ def transmittance_dda(
             jnp.where(running, mip_up, mip),
         )
         state = jnp.where(running[..., None], state, state_in)
+        steps = steps + running.astype(jnp.int32)
         running = running & ~killed & (t < far) & ~(collided & escaped)
-        return (state, t, tau, mip, running, tr, steps + 1)
+        return (state, t, tau, mip, running, tr, steps)
 
-    state, _, _, _, _, tr, _ = jax.lax.while_loop(cond, body, init)
+    state, _, _, _, _, tr, steps = jax.lax.while_loop(cond, body, init)
+    if with_stats:
+        return state, tr, steps
     return state, tr
 
 
@@ -268,7 +286,9 @@ def transmittance_dda(
 # ---------------------------------------------------------------------------
 
 
-def sample_volume_simple(grid, params, lut, origin, direction, state, active):
+def sample_volume_simple(
+    grid, params, lut, origin, direction, state, active, with_stats: bool = False
+):
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
     )
@@ -290,7 +310,7 @@ def sample_volume_simple(grid, params, lut, origin, direction, state, active):
 
     def cond(carry):
         _, _, running, _, _, steps = carry
-        return jnp.any(running) & (steps[0] < TRACKING_MAX_EVENTS)
+        return jnp.any(running) & (jnp.max(steps) < TRACKING_MAX_EVENTS)
 
     def body(carry):
         state_in, t, running, hit, rgb_out, steps = carry
@@ -312,15 +332,20 @@ def sample_volume_simple(grid, params, lut, origin, direction, state, active):
         t_new = t - jnp.log(1.0 - xi2) * params.inv_maj
         t = jnp.where(running & ~real, t_new, t)
         state = jnp.where(running[..., None], state, state_in)
+        steps = steps + running.astype(jnp.int32)
         running = running & ~real & (t < far)
-        return (state, t, running, hit, rgb_out, steps + 1)
+        return (state, t, running, hit, rgb_out, steps)
 
-    state, t, _, hit, rgb, _ = jax.lax.while_loop(cond, body, init)
+    state, t, _, hit, rgb, steps = jax.lax.while_loop(cond, body, init)
     le_add = jnp.zeros((n, 3), jnp.float32)
+    if with_stats:
+        return state, hit, t, rgb, le_add, steps
     return state, hit, t, rgb, le_add
 
 
-def transmittance_simple(grid, params, lut, origin, direction, state, active):
+def transmittance_simple(
+    grid, params, lut, origin, direction, state, active, with_stats: bool = False
+):
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
     )
@@ -335,7 +360,7 @@ def transmittance_simple(grid, params, lut, origin, direction, state, active):
 
     def cond(carry):
         _, _, running, _, steps = carry
-        return jnp.any(running) & (steps[0] < TRACKING_MAX_EVENTS)
+        return jnp.any(running) & (jnp.max(steps) < TRACKING_MAX_EVENTS)
 
     def body(carry):
         state_in, t, running, tr, steps = carry
@@ -360,10 +385,13 @@ def transmittance_simple(grid, params, lut, origin, direction, state, active):
         t_new = t - jnp.log(1.0 - xi2) * params.inv_maj
         t = jnp.where(running, t_new, t)
         state = jnp.where(running[..., None], state, state_in)
+        steps = steps + running.astype(jnp.int32)
         running = running & ~killed & (t < far)
-        return (state, t, running, tr, steps + 1)
+        return (state, t, running, tr, steps)
 
-    state, _, _, tr, _ = jax.lax.while_loop(cond, body, init)
+    state, _, _, tr, steps = jax.lax.while_loop(cond, body, init)
+    if with_stats:
+        return state, tr, steps
     return state, tr
 
 

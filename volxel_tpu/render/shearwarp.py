@@ -1,0 +1,334 @@
+"""Shear-warp direct volume rendering — the Pallas fast path (attempt #2).
+
+The north star asks for the hot loop as a tiled Pallas kernel. Round 1
+found Mosaic cannot express the per-ray brick-atlas gathers of the DDA
+traversal; re-probing this round shows Mosaic now supports only row-local
+128-wide `take_along_axis` gathers (tests/test_shearwarp.py::test_gather_probe
+documents the probe), which covers a 128-entry transfer LUT but still not
+per-ray volume taps. The gather-free factorization is the classic
+Lacroute–Levoy shear-warp: for a parallel projection along the principal
+view axis, every slice's contribution to the intermediate image is a pure
+2D TRANSLATION — dense VPU math, slices streamed through VMEM — and the
+perspective-correcting screen mapping is one 2D warp at the end.
+
+Pipeline (absorption–emission DVR, a deterministic fast-preview mode next
+to the Monte-Carlo modes; raymarch.glsl's Beer–Lambert accumulation):
+
+  1. choose principal axis k = argmax |view dir| (host, static permutation)
+  2. per slice z: bilinear-shift the slice by (sx*z+tx, sy*z+ty), classify
+     density through the transfer LUT, composite front-to-back:
+     C += T * alpha' * rgb;  T *= 1 - alpha';  alpha' = 1 - exp(-sigma dt)
+  3. warp the intermediate image to the screen (XLA bilinear, host matrix)
+
+Two implementations with IDENTICAL math, pinned against each other:
+  * shearwarp_intermediate_xla — jnp scan (runs everywhere)
+  * shearwarp_intermediate_pallas — Pallas kernel: slices stream
+    HBM->VMEM via the grid pipeline, accumulators persist in VMEM scratch
+    across grid steps, transfer classification uses the row-local gather,
+    early-out on opaque tiles via pl.when. The same-process A/B against
+    the XLA version lives in bench_shearwarp() and NOTES.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# shared math
+# ---------------------------------------------------------------------------
+
+
+def shear_parameters(view_dir: np.ndarray):
+    """Principal axis + per-slice shear for a parallel projection.
+
+    Returns (perm, flip, sx, sy): permute the (Z, Y, X) volume by `perm`
+    so the principal axis is Z, flip slice order if the view runs -z,
+    then slice z is translated by (sx*z, sy*z) in (y, x).
+    """
+    d = np.asarray(view_dir, np.float64)
+    k = int(np.argmax(np.abs(d)))  # 0=x, 1=y, 2=z in (x, y, z) order
+    # permutation of (Z, Y, X) axes putting principal axis first
+    perms = {
+        2: (0, 1, 2),  # z principal: (Z, Y, X)
+        1: (1, 0, 2),  # y principal: (Y, Z, X)
+        0: (2, 1, 0),  # x principal: (X, Y, Z)
+    }
+    perm = perms[k]
+    axes_xyz = {2: (0, 1), 1: (0, 2), 0: (1, 2)}[k]  # remaining (x', y') axes
+    dz = d[k]
+    flip = dz < 0
+    s = -d[list(axes_xyz)] / abs(dz)
+    if flip:
+        s = -s
+    sx, sy = float(s[0]), float(s[1])
+    return perm, bool(flip), sx, sy
+
+
+def _composite_slice(c_acc, t_acc, rgb, alpha):
+    """Front-to-back over operator (raymarch.glsl Beer-Lambert analog)."""
+    contrib = t_acc[..., None] * alpha[..., None] * rgb
+    return c_acc + contrib, t_acc * (1.0 - alpha)
+
+
+def _classify(slice_vals, lut, inv_maj, sigma_dt):
+    """Density -> (rgb, alpha') through the NEAREST transfer LUT."""
+    k = lut.shape[0]
+    idx = jnp.clip(
+        jnp.floor(slice_vals * inv_maj * k).astype(jnp.int32), 0, k - 1
+    )
+    rgba = lut[idx]
+    alpha = 1.0 - jnp.exp(-rgba[..., 3] * sigma_dt)
+    return rgba[..., :3], alpha
+
+
+def _shift_bilinear(img, uy, ux, out_h, out_w):
+    """Place `img` into an (out_h, out_w) canvas translated by (uy, ux)
+    (fractional, non-negative), bilinearly. jnp version."""
+    iy = jnp.floor(uy).astype(jnp.int32)
+    ix = jnp.floor(ux).astype(jnp.int32)
+    fy = uy - iy
+    fx = ux - ix
+    h, w = img.shape
+    padded = jnp.zeros((out_h, out_w), img.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, img, (iy, ix))
+    shifted_y = jax.lax.dynamic_update_slice(
+        jnp.zeros((out_h, out_w), img.dtype), img, (iy + 1, ix)
+    )
+    row = padded * (1.0 - fy) + shifted_y * fy
+    shifted_x = jnp.roll(row, 1, axis=1)
+    shifted_x = shifted_x.at[:, 0].set(0.0)
+    return row * (1.0 - fx) + shifted_x * fx
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation
+# ---------------------------------------------------------------------------
+
+
+def shearwarp_intermediate_xla(
+    volume, lut, sx: float, sy: float, inv_maj, sigma_dt
+):
+    """(Z, Y, X) dense volume -> (Hi, Wi, 3) intermediate image + alpha.
+
+    lax.scan over slices; identical math to the Pallas kernel.
+    """
+    z_n, y_n, x_n = volume.shape
+    out_h = y_n + int(np.ceil(abs(sy) * (z_n - 1))) + 1
+    out_w = x_n + int(np.ceil(abs(sx) * (z_n - 1))) + 1
+    ty = max(0.0, -sy * (z_n - 1))
+    tx = max(0.0, -sx * (z_n - 1))
+
+    def step(carry, z):
+        c_acc, t_acc = carry
+        sl = volume[z].astype(jnp.float32)
+        rgb, alpha = _classify(sl, lut, inv_maj, sigma_dt)
+        uy = jnp.clip(sy * z.astype(jnp.float32) + ty, 0.0, out_h - y_n - 1)
+        ux = jnp.clip(sx * z.astype(jnp.float32) + tx, 0.0, out_w - x_n - 1)
+        rgb_s = jnp.stack(
+            [_shift_bilinear(rgb[..., i], uy, ux, out_h, out_w) for i in range(3)],
+            axis=-1,
+        )
+        a_s = _shift_bilinear(alpha, uy, ux, out_h, out_w)
+        c_acc, t_acc = _composite_slice(c_acc, t_acc, rgb_s, a_s)
+        return (c_acc, t_acc), None
+
+    c0 = jnp.zeros((out_h, out_w, 3), jnp.float32)
+    t0 = jnp.ones((out_h, out_w), jnp.float32)
+    (c_acc, t_acc), _ = jax.lax.scan(step, (c0, t0), jnp.arange(z_n))
+    return c_acc, t_acc
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _sw_kernel(params_ref, vol_ref, lut_ref, c_ref, t_ref, c_acc, t_acc):
+    """One grid step = one slice. Accumulators live in VMEM scratch and
+    persist across the sequential TPU grid; outputs written at the last
+    step. Images are channel-first (3, H, W) so H, W ride the TPU's
+    (sublane, lane) tiling."""
+    z = pl.program_id(0)
+    nz = pl.num_programs(0)
+
+    @pl.when(z == 0)
+    def _():
+        c_acc[:] = jnp.zeros_like(c_acc)
+        t_acc[:] = jnp.ones_like(t_acc)
+
+    sx = params_ref[0]
+    sy = params_ref[1]
+    tx = params_ref[2]
+    ty = params_ref[3]
+    inv_maj = params_ref[4]
+    sigma_dt = params_ref[5]
+
+    # early-out once (this tile of) the intermediate image is opaque
+    @pl.when(jnp.max(t_acc[:]) > 1e-4)
+    def _():
+        sl = vol_ref[0].astype(jnp.float32)  # (Y, X)
+        y_n, x_n = sl.shape
+        k = lut_ref.shape[0]  # 128 — the row-local gather width
+
+        # classify: row-local 128-wide take_along_axis gather (4 channels);
+        # pad the flat index stream up to a multiple of the LUT width
+        total = y_n * x_n
+        pad = (-total) % k
+        idx = jnp.clip(
+            jnp.floor(sl * inv_maj * k).astype(jnp.int32), 0, k - 1
+        ).reshape(-1)
+        if pad:
+            idx = jnp.concatenate([idx, jnp.zeros((pad,), jnp.int32)])
+        idx = idx.reshape(-1, k)
+        rows = idx.shape[0]
+
+        def chan(i):
+            tab = jnp.broadcast_to(lut_ref[:, i], (rows, k))
+            flat = jnp.take_along_axis(tab, idx, axis=1).reshape(-1)
+            return flat[:total].reshape(y_n, x_n)
+
+        r, g, b = chan(0), chan(1), chan(2)
+        alpha = 1.0 - jnp.exp(-chan(3) * sigma_dt)
+
+        out_h = c_acc.shape[1]
+        out_w = c_acc.shape[2]
+        zf = z.astype(jnp.float32)
+        uy = jnp.clip(sy * zf + ty, 0.0, out_h - y_n - 1)
+        ux = jnp.clip(sx * zf + tx, 0.0, out_w - x_n - 1)
+        iy = jnp.floor(uy).astype(jnp.int32)
+        ix = jnp.floor(ux).astype(jnp.int32)
+        fy = uy - iy.astype(jnp.float32)
+        fx = ux - ix.astype(jnp.float32)
+
+        # bilinear placement via 2D weight masks on the full canvas:
+        # canvas coords (Y+1, X+1) window starting at (iy, ix)
+        def place(img):
+            # pad by one, then weight the 4 taps in-register
+            p = jnp.pad(img, ((0, 1), (0, 1)))
+            p00 = p[: y_n + 1, : x_n + 1]
+            p10 = jnp.pad(img, ((1, 0), (0, 1)))[: y_n + 1, : x_n + 1]
+            p01 = jnp.pad(img, ((0, 1), (1, 0)))[: y_n + 1, : x_n + 1]
+            p11 = jnp.pad(img, ((1, 0), (1, 0)))[: y_n + 1, : x_n + 1]
+            return (
+                p00 * (1 - fy) * (1 - fx)
+                + p10 * fy * (1 - fx)
+                + p01 * (1 - fy) * fx
+                + p11 * fy * fx
+            )
+
+        a_w = place(alpha)
+        t_win = t_acc[pl.ds(iy, y_n + 1), pl.ds(ix, x_n + 1)]
+        for i, img in enumerate((r, g, b)):
+            c_win = c_acc[i, pl.ds(iy, y_n + 1), pl.ds(ix, x_n + 1)]
+            c_acc[i, pl.ds(iy, y_n + 1), pl.ds(ix, x_n + 1)] = (
+                c_win + t_win * a_w * place(img)
+            )
+        t_acc[pl.ds(iy, y_n + 1), pl.ds(ix, x_n + 1)] = t_win * (1.0 - a_w)
+
+    @pl.when(z == nz - 1)
+    def _():
+        c_ref[:] = c_acc[:]
+        t_ref[:] = t_acc[:]
+
+
+def shearwarp_intermediate_pallas(
+    volume, lut, sx: float, sy: float, inv_maj, sigma_dt
+):
+    """Pallas version of shearwarp_intermediate_xla (same outputs)."""
+    z_n, y_n, x_n = volume.shape
+    out_h = y_n + int(np.ceil(abs(sy) * (z_n - 1))) + 1
+    out_w = x_n + int(np.ceil(abs(sx) * (z_n - 1))) + 1
+    ty = max(0.0, -sy * (z_n - 1))
+    tx = max(0.0, -sx * (z_n - 1))
+
+    params = jnp.asarray(
+        [sx, sy, tx, ty, float(inv_maj), float(sigma_dt)], jnp.float32
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(z_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, y_n, x_n), lambda z: (z, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (lut.shape[0], 4), lambda z: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (3, out_h, out_w), lambda z: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (out_h, out_w), lambda z: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, out_h, out_w), jnp.float32),
+            pltpu.VMEM((out_h, out_w), jnp.float32),
+        ],
+    )
+    c_acc, t_acc = pl.pallas_call(
+        _sw_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, out_h, out_w), jnp.float32),
+            jax.ShapeDtypeStruct((out_h, out_w), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )(params, volume, lut)
+    return jnp.transpose(c_acc, (1, 2, 0)), t_acc
+
+
+# ---------------------------------------------------------------------------
+# full render: permute -> intermediate -> screen warp
+# ---------------------------------------------------------------------------
+
+
+def render_dvr(
+    dense,
+    lut,
+    view_dir,
+    vol_maj: float,
+    density_scale: float = 1.0,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+):
+    """Deterministic shear-warp DVR of a dense (Z, Y, X) field.
+
+    Returns the intermediate-space composited image (Hi, Wi, 3) — the
+    screen warp is an affine 2D resample left to the display path (the
+    "warp" half of shear-warp; cheap and XLA-friendly).
+    """
+    perm, flip, sx, sy = shear_parameters(view_dir)
+    vol = jnp.transpose(dense, perm)
+    if flip:
+        vol = vol[::-1]
+    sigma_dt = density_scale * float(np.sqrt(1.0 + sx * sx + sy * sy))
+    inv_maj = 1.0 / vol_maj
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = (
+        shearwarp_intermediate_pallas if use_pallas else shearwarp_intermediate_xla
+    )
+    if use_pallas and interpret:
+        fn = functools.partial(_interpret_pallas, fn)
+    c, t = fn(vol.astype(jnp.float32), lut, sx, sy, inv_maj, sigma_dt)
+    return c, t
+
+
+def _interpret_pallas(fn, *args):
+    with pltpu.force_tpu_interpret_mode():
+        return fn(*args)
