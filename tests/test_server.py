@@ -133,3 +133,35 @@ def test_stream_yields_frames(server):
     assert b"--frame" in data
     assert b"image/png" in data
     resp.close()
+
+
+def test_histogram_endpoint(server):
+    data = json.loads(_get(server, "/histogram").read())
+    assert len(data["bars"]) > 0
+    assert len(data["alpha"]) == len(data["bars"])
+    assert all(0.0 <= v <= 1.0 for v in data["bars"])
+    assert data["range"] == [0.0, 1.0]
+
+
+def test_render_mode_command(server):
+    _post(server, "/input", {"type": "render_mode", "mode": "raymarch"})
+    deadline = time.time() + 60
+    while server.renderer.render_mode != "raymarch" and time.time() < deadline:
+        time.sleep(0.05)
+    assert server.renderer.render_mode == "raymarch"
+    _post(server, "/input", {"type": "render_mode", "mode": "default"})
+
+
+def test_sample_range_settings(server):
+    _post(server, "/settings", {"sample_range": [0.1, 0.9]})
+    deadline = time.time() + 60
+    while server.renderer.settings.sample_range != [0.1, 0.9] and time.time() < deadline:
+        time.sleep(0.05)
+    assert server.renderer.settings.sample_range == [0.1, 0.9]
+    _post(server, "/settings", {"sample_range": [0.0, 1.0]})
+
+
+def test_page_has_controls(server):
+    page = _get(server, "/").read().decode()
+    for control in ("density_multiplier", "exposure", "gamma", "hist", "mode"):
+        assert f'id="{control}"' in page

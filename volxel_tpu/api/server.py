@@ -43,6 +43,19 @@ body { margin: 0; background: #111; color: #ddd; font: 13px sans-serif; }
 </style></head><body><div id="wrap">
 <img id="view" src="/stream" draggable="false">
 <div id="bar">drag orbit &middot; shift-drag pan &middot; wheel zoom &middot; right-drag clip &middot; <span id="stat"></span></div>
+<div id="panel" style="display:flex;flex-wrap:wrap;gap:10px;align-items:center;max-width:720px">
+  <label>mode <select id="mode">
+    <option value="default">default (DDA)</option>
+    <option value="no_dda">no_dda (tracking)</option>
+    <option value="raymarch">raymarch</option>
+  </select></label>
+  <label>density <input type="range" id="density_multiplier" min="0.1" max="10" step="0.1" value="1"></label>
+  <label>exposure <input type="range" id="exposure" min="0.1" max="20" step="0.1" value="5.5"></label>
+  <label>gamma <input type="range" id="gamma" min="1" max="4" step="0.05" value="2.2"></label>
+  <label>bounces <input type="range" id="bounces" min="1" max="8" step="1" value="3"></label>
+  <label>samples <input type="range" id="max_samples" min="10" max="5000" step="10" value="2000"></label>
+</div>
+<canvas id="hist" width="512" height="80" style="background:#000;cursor:col-resize"></canvas>
 </div><script>
 const view = document.getElementById('view');
 const stat = document.getElementById('stat');
@@ -85,6 +98,56 @@ setInterval(async () => {
   const s = await (await fetch('/state')).json();
   stat.textContent = s.samples + ' samples';
 }, 1000);
+// settings controls (elements/slider.ts role: value -> ViewerSettings)
+for (const id of ['density_multiplier','exposure','gamma','bounces','max_samples']) {
+  document.getElementById(id).addEventListener('input', e => {
+    fetch('/settings', {method: 'POST',
+      body: JSON.stringify({[id]: parseFloat(e.target.value)})});
+  });
+}
+document.getElementById('mode').addEventListener('change', e => {
+  post({type: 'render_mode', mode: e.target.value});
+});
+// histogram viewer (elements/histogramViewer.ts role): log bars + gradient
+// heat + draggable sample range
+const hist = document.getElementById('hist');
+const hctx = hist.getContext('2d');
+let hdata = null, range = [0, 1], hdrag = null;
+async function drawHist() {
+  if (!hdata) {
+    const resp = await fetch('/histogram');
+    if (!resp.ok) return;
+    hdata = await resp.json();
+    range = hdata.range;
+  }
+  const n = hdata.bars.length, W = hist.width, H = hist.height;
+  hctx.clearRect(0, 0, W, H);
+  for (let i = 0; i < n; i++) {
+    const x = i / n * W, w = W / n + 1;
+    hctx.fillStyle = `rgba(255,${255 - 255 * hdata.alpha[i]},64,1)`;
+    hctx.fillRect(x, H - hdata.bars[i] * H, w, hdata.bars[i] * H);
+  }
+  hctx.fillStyle = 'rgba(100,160,255,0.25)';
+  hctx.fillRect(range[0] * W, 0, (range[1] - range[0]) * W, H);
+}
+hist.addEventListener('pointerdown', e => {
+  const x = (e.clientX - hist.getBoundingClientRect().left) / hist.clientWidth;
+  hdrag = Math.abs(x - range[0]) < Math.abs(x - range[1]) ? 0 : 1;
+  hist.setPointerCapture(e.pointerId);
+});
+hist.addEventListener('pointermove', e => {
+  if (hdrag === null) return;
+  const x = (e.clientX - hist.getBoundingClientRect().left) / hist.clientWidth;
+  range[hdrag] = Math.min(1, Math.max(0, x));
+  if (range[0] > range[1]) range = [range[1], range[0]];
+  drawHist();
+});
+hist.addEventListener('pointerup', () => {
+  if (hdrag === null) return;
+  hdrag = null;
+  fetch('/settings', {method: 'POST', body: JSON.stringify({sample_range: range})});
+});
+drawHist();
 </script></body></html>"""
 
 
@@ -144,6 +207,9 @@ class PreviewServer:
             if self._clip is not None:
                 self._clip.end_drag()
             return False
+        if t == "render_mode":
+            r.render_mode = cmd["mode"]
+            return True
         if t == "settings":
             for key, value in cmd.get("values", {}).items():
                 if not hasattr(r.settings, key):
@@ -186,6 +252,25 @@ class PreviewServer:
             else:
                 time.sleep(0.02)  # converged; idle until input
 
+    def _fallback_histogram(self):
+        """256-bin histogram + smoothed first-difference gradient of the
+        decoded density field (dicom.rs:39-66 semantics) for grids that
+        were built without the ingest pipeline."""
+        if getattr(self, "_hist_cache", None) is not None:
+            return self._hist_cache
+        dense = np.asarray(
+            self.renderer._device_grid.dense, dtype=np.float32
+        ).ravel()
+        hist, _ = np.histogram(dense, bins=256, range=(0.0, 1.0))
+        hist = hist.astype(np.uint32)
+        diff = np.diff(hist.astype(np.int64), prepend=0)
+        grad = ((np.roll(diff, 1) + diff + np.roll(diff, -1)) // 3).astype(
+            np.int64
+        )
+        gmax = int(max(abs(grad.min()), abs(grad.max()), 1))
+        self._hist_cache = (hist, grad, gmax)
+        return self._hist_cache
+
     # -- HTTP ------------------------------------------------------------------
 
     def _handler_class(self):
@@ -221,6 +306,36 @@ class PreviewServer:
                         "settings": r.export_settings(),
                     }
                     self._send(200, "application/json", json.dumps(state).encode())
+                elif self.path == "/histogram":
+                    r = server.renderer
+                    grid = r.grid
+                    if grid is None:
+                        self._send(404, "text/plain", b"no volume")
+                        return
+                    from volxel_tpu.utils.histview import histogram_view_data
+
+                    if grid.histogram.size:
+                        hist = grid.histogram
+                        hgrad = grid.histogram_gradient
+                        gmax = max(
+                            abs(grid.histogram_gradient_range[0]),
+                            abs(grid.histogram_gradient_range[1]),
+                        )
+                    else:
+                        # grids built without ingest (synthetic/test volumes)
+                        # carry no histogram; derive one from the decoded field
+                        hist, hgrad, gmax = server._fallback_histogram()
+                    bars, alpha = histogram_view_data(hist, hgrad, gmax)
+                    # downsample to 256 display bins like the canvas widget
+                    step = max(1, len(bars) // 256)
+                    body = json.dumps(
+                        {
+                            "bars": [round(float(v), 4) for v in bars[::step]],
+                            "alpha": [round(float(v), 4) for v in alpha[::step]],
+                            "range": list(r.settings.sample_range),
+                        }
+                    ).encode()
+                    self._send(200, "application/json", body)
                 elif self.path == "/stream":
                     self.send_response(200)
                     self.send_header(
