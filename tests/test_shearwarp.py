@@ -104,3 +104,24 @@ def test_gather_probe():
     assert np.array_equal(
         np.asarray(out), np.take_along_axis(np.asarray(tab), np.asarray(idx), 1)
     )
+
+
+def test_renderer_dvr_preview():
+    """Renderer.render_dvr end-to-end on a loaded volume."""
+    from volxel_tpu import Renderer
+    from volxel_tpu.grid import construct_brick_grid
+    from volxel_tpu.utils.fixtures import synthetic_ct_volume
+
+    vol = synthetic_ct_volume((24, 24, 24), bits_stored=12)
+    r = Renderer(width=32, height=32)
+    r.restart_from_grid(
+        construct_brick_grid(
+            vol.astype(np.float32) / vol.max(),
+            transform=np.eye(4, dtype=np.float32),
+        )
+    )
+    r.camera.rotate_around_view(0.4, 0.25)
+    img = r.render_dvr(use_pallas=False)
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01

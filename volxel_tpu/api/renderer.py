@@ -282,6 +282,39 @@ class Renderer:
             sample_range=jnp.asarray(self.settings.sample_range, jnp.float32),
         )
 
+    def render_dvr(self, use_pallas: bool | None = None) -> np.ndarray:
+        """Deterministic shear-warp DVR preview of the current view.
+
+        Extension beyond the reference: a single-pass absorption-emission
+        render (render/shearwarp.py — the Pallas fast path) for instant
+        previews while the Monte-Carlo modes converge. Returns a tonemapped
+        (Hi, Wi, 3) image in intermediate (sheared) space.
+        """
+        if self._device_grid is None or self._device_grid.dense is None:
+            raise RuntimeError("DVR preview needs a loaded dense volume")
+        from volxel_tpu.render.pathtrace import tonemap
+        from volxel_tpu.render.shearwarp import render_dvr as _dvr
+
+        # view direction in index space: the camera forward axis
+        forward = self.camera.view - self.camera.pos
+        m = np.linalg.inv(self.volume.combined_transform().astype(np.float64))
+        d_index = m[:3, :3] @ forward
+        scale = float(self.density_scale * self.settings.density_multiplier)
+        c, _t = _dvr(
+            self._device_grid.dense,
+            self._lut,
+            d_index,
+            vol_maj=1.0,
+            density_scale=scale,
+            use_pallas=use_pallas,
+        )
+        img = tonemap(
+            c,
+            jnp.float32(self.settings.exposure),
+            jnp.float32(self.settings.gamma),
+        )
+        return np.asarray(jnp.clip(img, 0.0, 1.0))
+
     def maybe_sync_light(self) -> None:
         """Backlight mode (viewer.ts:789-795): when syncLightDir is on,
         the light points from the camera toward the look-at target."""
