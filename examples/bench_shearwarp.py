@@ -1,0 +1,99 @@
+"""Same-process A/B: Pallas shear-warp kernel vs the identical XLA scan.
+
+The north-star Pallas evidence (VERDICT round-1 item 3): run both
+implementations of the shear-warp DVR intermediate (render/shearwarp.py)
+on the same process/device and report ms/frame, plus the wavefront
+raymarch mode at a comparable pixel count for context. Results recorded in
+NOTES.md.
+
+Usage: python examples/bench_shearwarp.py [size]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _median_ms(fn, n=10, warmup=2):
+    for _ in range(warmup):
+        fn().block_until_ready()
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn().block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000.0)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from volxel_tpu.render.shearwarp import (
+        shearwarp_intermediate_pallas,
+        shearwarp_intermediate_xla,
+    )
+    from volxel_tpu.transfer.function import generate_transfer_function
+
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    rng = np.random.default_rng(0)
+    z = y = x = size
+    vol = jnp.asarray(
+        (rng.random((z, y, x)) * (rng.random((z, y, x)) > 0.7)).astype(np.float32)
+    )
+    lut = jnp.asarray(
+        generate_transfer_function(
+            [
+                {"color": [0.57, 0.25, 0.67, 0.54], "stop": 0.0},
+                {"color": [0.97, 0.89, 0.36, 1.0], "stop": 0.18},
+                {"color": [0.0, 1.0, 1.0, 0.17], "stop": 0.4},
+            ]
+        )
+    )
+    sx, sy = 0.35, -0.2
+    args = (vol, lut, sx, sy, 1.0, 1.1)
+
+    xla = jax.jit(lambda v: shearwarp_intermediate_xla(v, *args[1:])[0])
+    pal = jax.jit(lambda v: shearwarp_intermediate_pallas(v, *args[1:])[0])
+
+    # correctness first
+    a = np.asarray(xla(vol))
+    b = np.asarray(pal(vol))
+    err = float(np.abs(a - b).max())
+    print(f"# size {size}^3, intermediate {a.shape}, pallas-vs-xla max err {err:.2e}")
+    assert err < 1e-4
+
+    ms_xla = _median_ms(lambda: xla(vol))
+    ms_pal = _median_ms(lambda: pal(vol))
+
+    # context: the wavefront raymarch MC mode at the same pixel count
+    from volxel_tpu import Renderer
+    from volxel_tpu.grid import construct_brick_grid
+
+    grid = construct_brick_grid(np.asarray(vol), transform=np.eye(4, np.float32))
+    side = a.shape[0]
+    r = Renderer(width=side, height=side)
+    r.restart_from_grid(grid)
+    r.camera.zoom(2.0)
+    r.settings.bounces = 1
+    r.render_mode = "raymarch"
+    ms_rm = _median_ms(lambda: r.render_frame(), n=6)
+
+    n_px = a.shape[0] * a.shape[1]
+    print(
+        f"shearwarp XLA:    {ms_xla:8.2f} ms/frame  ({n_px / ms_xla / 1e3:.1f} Mpix/s)"
+    )
+    print(
+        f"shearwarp Pallas: {ms_pal:8.2f} ms/frame  ({n_px / ms_pal / 1e3:.1f} Mpix/s)"
+        f"  -> {ms_xla / ms_pal:.2f}x vs XLA"
+    )
+    print(
+        f"raymarch MC mode: {ms_rm:8.2f} ms/sample ({side}x{side}, 1 progressive sample)"
+    )
+
+
+if __name__ == "__main__":
+    main()

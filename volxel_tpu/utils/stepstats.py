@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from volxel_tpu.render import modes
-from volxel_tpu.render.rays import camera_rays, pixel_ndc
+from volxel_tpu.render.rays import camera_rays
 from volxel_tpu.render.rng import rng2, seed_rays
 
 
@@ -30,12 +30,17 @@ def _operands(renderer):
     return r._device_grid, r.volume_params(), r._lut, inv_view, inv_proj
 
 
+MAX_RAYS = 1 << 18  # cap the instrumented wavefront (large lane counts
+# compile slowly and have crashed the tunneled TPU worker; NOTES.md)
+
+
 def step_statistics(renderer, mode: str | None = None, sample_index: int = 0) -> dict:
     """Per-ray step counts for one primary-visibility wavefront plus the
     shadow-ray transmittance wavefront from the hit points.
 
-    Returns {"sample": stats, "transmittance": stats, "caps": {...}} where
-    stats = {p50, p90, p99, max, cap, frac_at_cap}.
+    At most MAX_RAYS pixels are measured, strided uniformly across the
+    image. Returns {"sample": stats, "transmittance": stats, "mode": ...}
+    where stats = {p50, p90, p99, max, cap, frac_at_cap}.
     """
     r = renderer
     mode = mode or r.settings.render_mode
@@ -49,8 +54,10 @@ def step_statistics(renderer, mode: str | None = None, sample_index: int = 0) ->
 
     grid, params, lut, inv_view, inv_proj = _operands(r)
     w, h = r.width, r.height
-    n = w * h
-    pixel_index = jnp.arange(n, dtype=jnp.uint32)
+    total = w * h
+    stride = max(1, -(-total // MAX_RAYS))
+    pixel_index = jnp.arange(0, total, stride, dtype=jnp.uint32)
+    n = pixel_index.shape[0]
 
     sample_volume, transmittance = modes.MODE_FUNCTIONS[mode]
     light = jnp.asarray(r.settings.light_dir, jnp.float32)
@@ -59,7 +66,10 @@ def step_statistics(renderer, mode: str | None = None, sample_index: int = 0) ->
     def run():
         state = seed_rays(pixel_index, jnp.uint32(sample_index))
         state, jit2 = rng2(state)
-        ndc = pixel_ndc(w, h, jit2)
+        px = (pixel_index % jnp.uint32(w)).astype(jnp.float32)
+        py = (pixel_index // jnp.uint32(w)).astype(jnp.float32)
+        tex = jnp.stack([(px + 0.5) / w, (py + 0.5) / h], axis=-1)
+        ndc = tex + (jit2 * 2.0 - 1.0) / jnp.array([w, h], jnp.float32)
         rays = camera_rays(inv_view, inv_proj, ndc)
         active = jnp.ones((n,), bool)
         state, hit, t, _rgb, _le, s_steps = sample_volume(
