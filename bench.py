@@ -16,6 +16,11 @@ Protocol (BASELINE.md): 1080p, 512^3 volume, bounces=1, the benchmark
 transfer function from public/benchmark.json. Baseline: the reference's
 DDA mode at ~5.8 ms/sample (performance.txt:28-35). vs_baseline > 1 means
 faster than the reference.
+
+Structure rule (BENCH_r02 post-mortem): the required JSON line must print
+even when optional instrumentation fails — every non-essential stage is
+individually guarded, and its failure degrades to an "error" field in the
+payload instead of an rc!=0 round.
 """
 
 from __future__ import annotations
@@ -38,6 +43,10 @@ def _time_mode(r, warmup: int = 2, timed: int = 12) -> float:
     return float(np.median(times) * 1000.0)
 
 
+def _err(e: BaseException) -> str:
+    return f"{type(e).__name__}: {e}"[:300]
+
+
 def main() -> None:
     t_setup = time.time()
     from volxel_tpu import Renderer
@@ -45,7 +54,8 @@ def main() -> None:
     from volxel_tpu.utils.fixtures import synthetic_ct_volume
 
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    width, height = 1920, 1080
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
+    height = int(sys.argv[3]) if len(sys.argv) > 3 else 1080
 
     vol = synthetic_ct_volume((size, size, size), bits_stored=12)
     grid = construct_brick_grid(
@@ -53,27 +63,30 @@ def main() -> None:
     )
 
     # ingest timing: DICOM ZIP -> grid, the reference's ">2 minutes" path
-    # (README.md:12). Sliced at the benchmark volume size.
+    # (README.md:12). Sliced at the benchmark volume size. Optional: any
+    # failure degrades to an error string, never a crashed bench.
     ingest_s = None
     if size >= 256:  # only meaningful at real scale
-        from volxel_tpu.ingest.ziploader import read_zip_to_grid
-        from volxel_tpu.utils.fixtures import write_dicom_zip
-        import io
-        import zipfile
+        try:
+            import io
+            import zipfile
 
-        blobs_vol = vol[: min(size, 512)]
-        buf = io.BytesIO()
-        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            from volxel_tpu.ingest.ziploader import read_zip_to_grid
             from volxel_tpu.utils.fixtures import write_dicom_series
 
-            for i, blob in enumerate(write_dicom_series(blobs_vol, bits_stored=12)):
-                zf.writestr(f"series/slice_{i:04d}.dcm", blob)
-        zip_bytes = buf.getvalue()
-        del buf
-        t0 = time.time()
-        read_zip_to_grid(zip_bytes)
-        ingest_s = round(time.time() - t0, 2)
-        del zip_bytes
+            blobs_vol = vol[: min(size, 512)]
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                for i, blob in enumerate(write_dicom_series(blobs_vol, bits_stored=12)):
+                    zf.writestr(f"series/slice_{i:04d}.dcm", blob)
+            zip_bytes = buf.getvalue()
+            del buf
+            t0 = time.time()
+            read_zip_to_grid(zip_bytes)
+            ingest_s = round(time.time() - t0, 2)
+            del zip_bytes
+        except Exception as e:  # noqa: BLE001 — never kill the bench
+            ingest_s = {"error": _err(e)}
     del vol
 
     r = Renderer(width=width, height=height)
@@ -95,29 +108,53 @@ def main() -> None:
     setup_s = time.time() - t_setup
     print(f"# setup {setup_s:.1f}s (ingest {ingest_s}s), compiling...", file=sys.stderr)
 
-    # reference-protocol mode sweep (performance.txt / benchmark.json)
-    sweep = {}
+    # reference-protocol mode sweep (performance.txt / benchmark.json).
+    # Each mode individually guarded: one mode crashing must not zero the
+    # round's perf record.
+    sweep: dict[str, object] = {}
     for mode in ("default", "no_dda", "raymarch"):
-        r.render_mode = mode  # resets accumulation + respecializes the jit
-        t0 = time.time()
-        sweep[mode] = round(_time_mode(r), 3)
-        print(
-            f"# {mode}: {sweep[mode]} ms/sample (incl. compile {time.time() - t0:.0f}s)",
-            file=sys.stderr,
-        )
+        try:
+            r.render_mode = mode  # resets accumulation + respecializes the jit
+            t0 = time.time()
+            sweep[mode] = round(_time_mode(r), 3)
+            print(
+                f"# {mode}: {sweep[mode]} ms/sample (incl. compile {time.time() - t0:.0f}s)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            sweep[mode] = {"error": _err(e)}
+            print(f"# {mode}: FAILED {_err(e)}", file=sys.stderr)
 
-    # step-count study on the benchmark scene (default mode)
-    r.render_mode = "default"
-    from volxel_tpu.utils.stepstats import step_statistics
+    # step-count study on the benchmark scene (default mode). Optional.
+    steps: object = None
+    if isinstance(sweep.get("default"), float):
+        try:
+            r.render_mode = "default"
+            from volxel_tpu.utils.stepstats import step_statistics
 
-    steps = step_statistics(r, "default")
+            steps = step_statistics(r, "default")
+        except Exception as e:  # noqa: BLE001
+            steps = {"error": _err(e)}
+            print(f"# step stats: FAILED {_err(e)}", file=sys.stderr)
 
-    ms_per_frame = sweep["default"]
+    timed = {m: v for m, v in sweep.items() if isinstance(v, float)}
+    if not timed:
+        # nothing rendered at all — emit an explicit failure record; the
+        # nonzero exit marks the round red, but the payload explains why
+        print(json.dumps({"metric": "bench failed", "value": 0, "unit": "ms",
+                          "vs_baseline": 0, "sweep_ms_per_sample": sweep}))
+        raise SystemExit(1)
+
+    headline_mode = "default" if "default" in timed else next(iter(timed))
+    ms_per_frame = timed[headline_mode]
     baseline_ms = 5.8  # reference DDA ms/sample (performance.txt:28-35)
     print(
         json.dumps(
             {
-                "metric": f"ms/frame 1080p {size}^3 volume, DDA path-traced sample",
+                "metric": (
+                    f"ms/frame {width}x{height} {size}^3 volume, "
+                    f"{headline_mode} path-traced sample"
+                ),
                 "value": ms_per_frame,
                 "unit": "ms",
                 "vs_baseline": round(baseline_ms / ms_per_frame, 4),
@@ -125,6 +162,7 @@ def main() -> None:
                 "mrays_per_s": round(width * height / (ms_per_frame / 1000.0) / 1e6, 1),
                 "steps": steps,
                 "ingest_s": ingest_s,
+                "setup_s": round(setup_s, 1),
             }
         )
     )

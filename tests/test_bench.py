@@ -1,0 +1,105 @@
+"""bench.py contract tests: the driver-graded JSON line must ALWAYS print.
+
+BENCH_r01 lost the dryrun and BENCH_r02 lost the bench to avoidable
+crashes in optional instrumentation; these tests pin the structural fix —
+every non-essential stage (step stats, ingest timing, individual sweep
+modes) is guarded, so the required keys survive any of them failing.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+BENCH_PATH = Path(__file__).resolve().parent.parent / "bench.py"
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("volxel_bench", BENCH_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run_main(monkeypatch, capsys, argv):
+    bench = _load_bench()
+    monkeypatch.setattr(sys, "argv", argv)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in payload, f"required key {key} missing"
+    return payload
+
+
+def test_bench_emits_json(monkeypatch, capsys):
+    payload = _run_main(monkeypatch, capsys, ["bench.py", "16", "64", "36"])
+    assert isinstance(payload["value"], float)
+    assert payload["value"] > 0
+    sweep = payload["sweep_ms_per_sample"]
+    assert set(sweep) == {"default", "no_dda", "raymarch"}
+    assert all(isinstance(v, float) for v in sweep.values())
+    # small volume skips the ingest study by design
+    assert payload["ingest_s"] is None
+    assert payload["steps"]["mode"] == "default"
+
+
+def test_bench_survives_stepstats_crash(monkeypatch, capsys):
+    """Killing step_statistics by hand must still yield the JSON line
+    (VERDICT r2 item 1: 'killing step-stats by hand still yields rc=0')."""
+    import volxel_tpu.utils.stepstats as stepstats
+
+    def boom(*a, **k):
+        raise RuntimeError("TPU device error — simulated kernel fault")
+
+    monkeypatch.setattr(stepstats, "step_statistics", boom)
+    payload = _run_main(monkeypatch, capsys, ["bench.py", "16", "64", "36"])
+    assert isinstance(payload["value"], float)
+    assert "error" in payload["steps"]
+    assert "simulated kernel fault" in payload["steps"]["error"]
+
+
+def test_bench_survives_mode_crash(monkeypatch, capsys):
+    """One render mode crashing degrades that sweep entry, not the round."""
+    from volxel_tpu.api import renderer as renderer_mod
+
+    real_setter = renderer_mod.Renderer.render_mode.fset
+
+    def flaky(self, mode):
+        if mode == "no_dda":
+            raise RuntimeError("simulated compile fault")
+        real_setter(self, mode)
+
+    monkeypatch.setattr(
+        renderer_mod.Renderer,
+        "render_mode",
+        property(renderer_mod.Renderer.render_mode.fget, flaky),
+    )
+    payload = _run_main(monkeypatch, capsys, ["bench.py", "16", "64", "36"])
+    assert isinstance(payload["value"], float)
+    sweep = payload["sweep_ms_per_sample"]
+    assert "error" in sweep["no_dda"]
+    assert isinstance(sweep["default"], float)
+    assert isinstance(sweep["raymarch"], float)
+
+
+def test_bench_total_failure_still_prints(monkeypatch, capsys):
+    """Even with every mode dead, a parseable JSON record prints (and the
+    nonzero exit marks the round red with an explanation, not a traceback)."""
+    bench = _load_bench()
+
+    def dead(*a, **k):
+        raise RuntimeError("all modes dead")
+
+    monkeypatch.setattr(bench, "_time_mode", dead)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "16", "64", "36"])
+    with pytest.raises(SystemExit):
+        bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["value"] == 0
+    assert all("error" in v for v in payload["sweep_ms_per_sample"].values())

@@ -125,3 +125,45 @@ def test_renderer_dvr_preview():
     assert img.ndim == 3 and img.shape[2] == 3
     assert np.isfinite(img).all()
     assert img.max() > 0.01
+
+
+@pytest.mark.parametrize(
+    "d",
+    [
+        (2.0, 1.0, 1.0),   # x principal
+        (-2.0, 1.0, 1.0),  # x principal, flipped
+        (1.0, 2.0, 1.0),   # y principal
+        (1.0, 1.0, 2.0),   # z principal
+        (1.0, 1.0, -2.0),  # z principal, flipped
+    ],
+)
+def test_shear_collinear_voxels_align(d):
+    """Two voxels collinear with the view ray land on the SAME intermediate
+    pixel — the defining property of the shear factorization. Pins the
+    (sx, sy) component mapping per principal axis (ADVICE r2: x-principal
+    views previously drifted along Z instead of Y)."""
+    import numpy as np
+
+    from volxel_tpu.render.shearwarp import render_dvr
+
+    n = 12
+    vol = np.zeros((n, n, n), np.float32)
+    p0 = np.array([4, 4, 4], np.float64)  # (x, y, z)
+    p1 = p0 + np.asarray(d)  # next lattice point along the ray
+    assert np.allclose(p1, np.round(p1)), "test construction: lattice-aligned"
+    for p in (p0, p1.round()):
+        x, y, z = (int(v) for v in p)
+        vol[z, y, x] = 1.0
+
+    lut = np.ones((128, 4), np.float32)
+    lut[0] = 0.0  # empty space stays transparent
+    c, _t = render_dvr(
+        jnp.asarray(vol), jnp.asarray(lut), np.asarray(d), vol_maj=1.0,
+        density_scale=8.0, use_pallas=False,
+    )
+    lum = np.asarray(c).sum(axis=-1)
+    ys, xs = np.nonzero(lum > 0.05 * lum.max())
+    assert np.ptp(ys) <= 1 and np.ptp(xs) <= 1, (
+        f"collinear voxels split across the intermediate image "
+        f"(rows {sorted(set(ys))}, cols {sorted(set(xs))}) for view {d}"
+    )

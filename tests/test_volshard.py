@@ -110,3 +110,33 @@ def test_slabbed_volume_memory_split(grid):
     assert sv.meta.dense is None
     # sharded over devices, not replicated
     assert len(sv.dense_halo.sharding.device_set) == 8
+
+
+def test_slab_custom_axis_name(grid):
+    """A SlabbedVolume built on a non-default mesh axis threads its axis
+    through sharded_render_fn (in_spec + psum axis follow grid.axis)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from volxel_tpu.api.renderer import Renderer
+    from volxel_tpu.parallel.shard import render_sample_sharded
+
+    mesh = Mesh(np.array(jax.devices()).reshape(1, 2, 4), ("sp", "px", "vol"))
+    r = _setup(Renderer(width=16, height=16), grid)
+    r.render_frame()  # builds cached operands (config, grid, params, ...)
+    config, dg, params, lut, env, inv_view, inv_proj, light = r._cached_operands
+
+    sv = build_slabbed_volume(dg, mesh, axis="vol")
+    assert sv.axis == "vol"
+    sharded = np.asarray(
+        render_sample_sharded(
+            config, mesh, sv, params, lut, env, inv_view, inv_proj, light,
+            jnp.uint32(0),
+        )
+    )
+    single = np.asarray(
+        __import__("volxel_tpu.render.pathtrace", fromlist=["render_sample"]).render_sample(
+            config, dg, params, lut, env, inv_view, inv_proj, light, jnp.uint32(0)
+        )
+    )
+    assert np.array_equal(sharded, single)

@@ -80,7 +80,12 @@ def encode_voxel(value, lo, hi) -> np.ndarray:
     safe = np.where(width > 0, width, 1.0)
     normalized = np.clip((value - lo) / safe, 0.0, 1.0)
     normalized = np.where(width > 0, normalized, 0.0)
-    return np.round(255.0 * normalized).astype(np.uint8)
+    # floor(x + 0.5) in float32 == the reference's f32::round (half away
+    # from zero) for non-negative x; np.round would be banker's rounding
+    # and disagrees with the C++ builder on exact .5 boundaries
+    return np.floor(np.float32(255.0) * normalized + np.float32(0.5)).astype(
+        np.uint8
+    )
 
 
 def decode_voxel(data, lo, hi) -> np.ndarray:

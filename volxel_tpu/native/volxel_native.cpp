@@ -208,7 +208,6 @@ void volxel_fill_atlas(const float* data, int64_t ex, int64_t ey, int64_t ez,
         if (!occupied[idx]) continue;
         float lo = range_lo[idx], hi = range_hi[idx];
         float width = hi - lo;
-        float inv = width > 0 ? 1.0f / width : 0.0f;
         int64_t px = (int64_t)indirection[idx * 3 + 0] * BRICK;
         int64_t py = (int64_t)indirection[idx * 3 + 1] * BRICK;
         int64_t pz = (int64_t)indirection[idx * 3 + 2] * BRICK;
@@ -216,11 +215,15 @@ void volxel_fill_atlas(const float* data, int64_t ex, int64_t ey, int64_t ez,
           for (int64_t dy = 0; dy < BRICK; ++dy) {
             for (int64_t dx = 0; dx < BRICK; ++dx) {
               float v = lookup(cx * BRICK + dx, cy * BRICK + dy, cz * BRICK + dz);
-              float norm = (v - lo) * inv;
+              // true f32 division + floor(x+0.5), matching the numpy
+              // builder op-for-op (encoding.py encode_voxel) — a
+              // reciprocal-multiply or lround can differ by one step on
+              // exact .5 boundaries
+              float norm = width > 0 ? (v - lo) / width : 0.0f;
               norm = std::min(1.0f, std::max(0.0f, norm));
               if (width <= 0) norm = 0.0f;
               atlas[((pz + dz) * ay + (py + dy)) * ax + (px + dx)] =
-                  (uint8_t)std::lround(255.0f * norm);
+                  (uint8_t)std::floor(255.0f * norm + 0.5f);
             }
           }
         }

@@ -27,22 +27,25 @@ from jax import shard_map
 from volxel_tpu.render.pathtrace import RenderConfig, render_pixels
 
 
-def sharded_render_fn(config: RenderConfig, mesh: Mesh, slab: bool = False):
+def sharded_render_fn(
+    config: RenderConfig, mesh: Mesh, slab_axis: str | None = None
+):
     """Build a jitted sharded render: (operands..., frame_index) -> (n, 3).
 
     Each 'sp' rank renders sample `frame_index * sp + rank`; the result is
     the mean over ranks — i.e. one call advances `sp` progressive samples.
-    With slab=True the grid operand must be a SlabbedVolume and the mesh
-    must carry a 'vz' axis; ray state is replicated over 'vz' and density
-    taps psum over it (bit-identical to the replicated-grid render).
+    With slab_axis set the grid operand must be a SlabbedVolume built on
+    that mesh axis; ray state is replicated over it and density taps psum
+    over it (bit-identical to the replicated-grid render).
     """
     n = config.width * config.height
     sp = mesh.shape["sp"]
     px = mesh.shape["px"]
     if n % px != 0:
         raise ValueError(f"pixel count {n} not divisible by px axis {px}")
-    if slab and "vz" not in mesh.shape:
-        raise ValueError("slab rendering needs a mesh with a 'vz' axis")
+    if slab_axis is not None and slab_axis not in mesh.shape:
+        raise ValueError(f"slab rendering needs a mesh with a {slab_axis!r} axis")
+    slab = slab_axis is not None
 
     def per_device(grid, params, lut, env, inv_view, inv_proj, light_dir, frame_index):
         px_rank = jax.lax.axis_index("px")
@@ -77,7 +80,7 @@ def sharded_render_fn(config: RenderConfig, mesh: Mesh, slab: bool = False):
     if slab:
         from volxel_tpu.parallel.volshard import SlabbedVolume
 
-        grid_spec = SlabbedVolume(P("vz", None, None), P(), "vz")
+        grid_spec = SlabbedVolume(P(slab_axis, None, None), P(), slab_axis)
     else:
         grid_spec = P()
     mapped = shard_map(
@@ -109,16 +112,23 @@ def render_sample_sharded(
     """
     from volxel_tpu.parallel.volshard import SlabbedVolume
 
-    slab = isinstance(grid, SlabbedVolume)
-    fn = _cached_sharded_fn(config, mesh, slab)
+    slab_axis = grid.axis if isinstance(grid, SlabbedVolume) else None
+    fn = _cached_sharded_fn(config, mesh, slab_axis)
     return fn(grid, params, lut, env, inv_view, inv_proj, light_dir, frame_index)
 
 
 _FN_CACHE: dict = {}
 
 
-def _cached_sharded_fn(config: RenderConfig, mesh: Mesh, slab: bool = False):
-    key = (config, tuple(d.id for d in mesh.devices.flat), mesh.shape["sp"], slab)
+def _cached_sharded_fn(
+    config: RenderConfig, mesh: Mesh, slab_axis: str | None = None
+):
+    key = (
+        config,
+        tuple(d.id for d in mesh.devices.flat),
+        mesh.shape["sp"],
+        slab_axis,
+    )
     if key not in _FN_CACHE:
-        _FN_CACHE[key] = sharded_render_fn(config, mesh, slab)
+        _FN_CACHE[key] = sharded_render_fn(config, mesh, slab_axis)
     return _FN_CACHE[key]

@@ -98,17 +98,21 @@ def sample_volume_dda(
         running0,
         jnp.zeros((n,), jnp.bool_),  # hit
         jnp.ones((n, 3), jnp.float32),  # rgb at collision
-        jnp.zeros((n,), jnp.int32),  # step counter
+        jnp.int32(0),  # scalar iteration counter (the loop cap)
     )
+    if with_stats:
+        init = init + (jnp.zeros((n,), jnp.int32),)  # per-lane step counts
 
     def cond(carry):
-        _, _, _, _, running, _, _, steps = carry
-        # per-lane personal counts: every still-running lane has been
-        # running since iteration 0, so max(steps) == iteration count
-        return jnp.any(running) & (jnp.max(steps) < DDA_SAMPLE_MAX_STEPS)
+        running, it = carry[4], carry[7]
+        # scalar cap check: the hot path carries no per-lane counters
+        return jnp.any(running) & (it < DDA_SAMPLE_MAX_STEPS)
 
     def body(carry):
-        state_in, t, tau, mip, running, hit, rgb_out, steps = carry
+        if with_stats:
+            state_in, t, tau, mip, running, hit, rgb_out, it, steps = carry
+        else:
+            state_in, t, tau, mip, running, hit, rgb_out, it = carry
         state = state_in
         mip_i = _round_mip(mip)
         curr = ipos + t[..., None] * idir
@@ -158,14 +162,19 @@ def sample_volume_dda(
         # counts stay independent of the wavefront's iteration count, so
         # results are identical under any pixel sharding
         state = jnp.where(running[..., None], state, state_in)
-        steps = steps + running.astype(jnp.int32)
+        out = (state, t, tau, mip)
+        if with_stats:
+            steps = steps + running.astype(jnp.int32)
+            running = running & ~stop & (t < far)
+            return out + (running, hit, rgb_out, it + 1, steps)
         running = running & ~stop & (t < far)
-        return (state, t, tau, mip, running, hit, rgb_out, steps)
+        return out + (running, hit, rgb_out, it + 1)
 
-    state, t, _, _, _, hit, rgb, steps = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, body, init)
+    state, t, hit, rgb = final[0], final[1], final[5], final[6]
     le_add = jnp.zeros((n, 3), jnp.float32)  # emission stub (common.glsl:87-88)
     if with_stats:
-        return state, hit, t, rgb, le_add, steps
+        return state, hit, t, rgb, le_add, final[8]
     return state, hit, t, rgb, le_add
 
 
@@ -199,15 +208,20 @@ def transmittance_dda(
         jnp.full((n,), MIP_START, jnp.float32),
         running0,
         jnp.ones((n,), jnp.float32),  # Tr
-        jnp.zeros((n,), jnp.int32),
+        jnp.int32(0),
     )
+    if with_stats:
+        init = init + (jnp.zeros((n,), jnp.int32),)
 
     def cond(carry):
-        _, _, _, _, running, _, steps = carry
-        return jnp.any(running) & (jnp.max(steps) < DDA_TRANSMITTANCE_MAX_STEPS)
+        running, it = carry[4], carry[6]
+        return jnp.any(running) & (it < DDA_TRANSMITTANCE_MAX_STEPS)
 
     def body(carry):
-        state_in, t, tau, mip, running, tr, steps = carry
+        if with_stats:
+            state_in, t, tau, mip, running, tr, it, steps = carry
+        else:
+            state_in, t, tau, mip, running, tr, it = carry
         state = state_in
         mip_i = _round_mip(mip)
         curr = ipos + t[..., None] * idir
@@ -271,13 +285,17 @@ def transmittance_dda(
             jnp.where(running, mip_up, mip),
         )
         state = jnp.where(running[..., None], state, state_in)
-        steps = steps + running.astype(jnp.int32)
+        if with_stats:
+            steps = steps + running.astype(jnp.int32)
+            running = running & ~killed & (t < far) & ~(collided & escaped)
+            return (state, t, tau, mip, running, tr, it + 1, steps)
         running = running & ~killed & (t < far) & ~(collided & escaped)
-        return (state, t, tau, mip, running, tr, steps)
+        return (state, t, tau, mip, running, tr, it + 1)
 
-    state, _, _, _, _, tr, steps = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, body, init)
+    state, tr = final[0], final[5]
     if with_stats:
-        return state, tr, steps
+        return state, tr, final[7]
     return state, tr
 
 
@@ -305,15 +323,20 @@ def sample_volume_simple(
         running0,
         jnp.zeros((n,), jnp.bool_),
         jnp.ones((n, 3), jnp.float32),
-        jnp.zeros((n,), jnp.int32),
+        jnp.int32(0),
     )
+    if with_stats:
+        init = init + (jnp.zeros((n,), jnp.int32),)
 
     def cond(carry):
-        _, _, running, _, _, steps = carry
-        return jnp.any(running) & (jnp.max(steps) < TRACKING_MAX_EVENTS)
+        running, it = carry[2], carry[5]
+        return jnp.any(running) & (it < TRACKING_MAX_EVENTS)
 
     def body(carry):
-        state_in, t, running, hit, rgb_out, steps = carry
+        if with_stats:
+            state_in, t, running, hit, rgb_out, it, steps = carry
+        else:
+            state_in, t, running, hit, rgb_out, it = carry
         state = state_in
         rgba = lookup_transfer(
             lut,
@@ -332,14 +355,18 @@ def sample_volume_simple(
         t_new = t - jnp.log(1.0 - xi2) * params.inv_maj
         t = jnp.where(running & ~real, t_new, t)
         state = jnp.where(running[..., None], state, state_in)
-        steps = steps + running.astype(jnp.int32)
+        if with_stats:
+            steps = steps + running.astype(jnp.int32)
+            running = running & ~real & (t < far)
+            return (state, t, running, hit, rgb_out, it + 1, steps)
         running = running & ~real & (t < far)
-        return (state, t, running, hit, rgb_out, steps)
+        return (state, t, running, hit, rgb_out, it + 1)
 
-    state, t, _, hit, rgb, steps = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, body, init)
+    state, t, hit, rgb = final[0], final[1], final[3], final[4]
     le_add = jnp.zeros((n, 3), jnp.float32)
     if with_stats:
-        return state, hit, t, rgb, le_add, steps
+        return state, hit, t, rgb, le_add, final[6]
     return state, hit, t, rgb, le_add
 
 
@@ -356,14 +383,19 @@ def transmittance_simple(
     running0 = active & hit_box & (t0 < far)
 
     n = origin.shape[0]
-    init = (state, t0, running0, jnp.ones((n,), jnp.float32), jnp.zeros((n,), jnp.int32))
+    init = (state, t0, running0, jnp.ones((n,), jnp.float32), jnp.int32(0))
+    if with_stats:
+        init = init + (jnp.zeros((n,), jnp.int32),)
 
     def cond(carry):
-        _, _, running, _, steps = carry
-        return jnp.any(running) & (jnp.max(steps) < TRACKING_MAX_EVENTS)
+        running, it = carry[2], carry[4]
+        return jnp.any(running) & (it < TRACKING_MAX_EVENTS)
 
     def body(carry):
-        state_in, t, running, tr, steps = carry
+        if with_stats:
+            state_in, t, running, tr, it, steps = carry
+        else:
+            state_in, t, running, tr, it = carry
         state = state_in
         rgba = lookup_transfer(
             lut,
@@ -385,13 +417,17 @@ def transmittance_simple(
         t_new = t - jnp.log(1.0 - xi2) * params.inv_maj
         t = jnp.where(running, t_new, t)
         state = jnp.where(running[..., None], state, state_in)
-        steps = steps + running.astype(jnp.int32)
+        if with_stats:
+            steps = steps + running.astype(jnp.int32)
+            running = running & ~killed & (t < far)
+            return (state, t, running, tr, it + 1, steps)
         running = running & ~killed & (t < far)
-        return (state, t, running, tr, steps)
+        return (state, t, running, tr, it + 1)
 
-    state, _, _, tr, steps = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, body, init)
+    state, tr = final[0], final[3]
     if with_stats:
-        return state, tr, steps
+        return state, tr, final[5]
     return state, tr
 
 

@@ -249,8 +249,9 @@ def render_pixels(
             return sanitize(radiance)
 
     n = pixel_index.shape[0]
-    if config.chunk_size is not None and n % config.chunk_size == 0 and n > config.chunk_size:
-        chunks = n // config.chunk_size
+    chunk = _effective_chunk_size(n, config.chunk_size)
+    if chunk is not None:
+        chunks = n // chunk
 
         def one_chunk(args):
             origin, direction, st = args
@@ -259,12 +260,29 @@ def render_pixels(
         return jax.lax.map(
             one_chunk,
             (
-                rays.origin.reshape(chunks, config.chunk_size, 3),
-                rays.direction.reshape(chunks, config.chunk_size, 3),
-                state.reshape(chunks, config.chunk_size, 4),
+                rays.origin.reshape(chunks, chunk, 3),
+                rays.direction.reshape(chunks, chunk, 3),
+                state.reshape(chunks, chunk, 4),
             ),
         ).reshape(n, 3)
     return trace(rays.origin, rays.direction, state)
+
+
+def _effective_chunk_size(n: int, requested: int | None) -> int | None:
+    """Adapt the requested chunk size to this wavefront's lane count.
+
+    Under pixel sharding each device traces n/px lanes, so a chunk size
+    picked from the GLOBAL pixel count may not divide the local wavefront;
+    falling back to the largest divisor <= requested keeps sharded renders
+    chunked instead of silently reverting to one monolithic while_loop.
+    """
+    if requested is None or n <= requested:
+        return None
+    k = -(-n // requested)  # smallest chunk count giving chunks <= requested
+    while k < n and n % k != 0:
+        k += 1
+    size = n // k
+    return size if 1 < size < n else None
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -62,12 +62,18 @@ def shear_parameters(view_dir: np.ndarray):
         0: (2, 1, 0),  # x principal: (X, Y, Z)
     }
     perm = perms[k]
-    axes_xyz = {2: (0, 1), 1: (0, 2), 0: (1, 2)}[k]  # remaining (x', y') axes
+    # component feeding (sx, sy): sx shifts slice COLUMNS, sy shifts slice
+    # ROWS. After `perm`, an x-principal slice is (rows=worldY, cols=worldZ)
+    # so sx reads d.z and sy reads d.y; y-principal is (rows=worldZ,
+    # cols=worldX); z-principal is (rows=worldY, cols=worldX).
+    axes_xyz = {2: (0, 1), 1: (0, 2), 0: (2, 1)}[k]
     dz = d[k]
     flip = dz < 0
+    # drift of a ray's (row, col) footprint per slice is d_rc/|d_p| with or
+    # without the flip: reversing slice order also reverses the traversal
+    # direction along the principal axis, so the two sign changes cancel
+    # (pinned by test_shear_collinear_voxels_align's flipped cases)
     s = -d[list(axes_xyz)] / abs(dz)
-    if flip:
-        s = -s
     sx, sy = float(s[0]), float(s[1])
     return perm, bool(flip), sx, sy
 
@@ -137,7 +143,13 @@ def shearwarp_intermediate_xla(
             axis=-1,
         )
         a_s = _shift_bilinear(alpha, uy, ux, out_h, out_w)
-        c_acc, t_acc = _composite_slice(c_acc, t_acc, rgb_s, a_s)
+        c_new, t_new = _composite_slice(c_acc, t_acc, rgb_s, a_s)
+        # same early-out semantics as the Pallas kernel (pl.when on
+        # max(t) > 1e-4): once opaque, later slices contribute nothing,
+        # so the two implementations stay bit-comparable on dense scenes
+        opaque = jnp.max(t_acc) <= 1e-4
+        c_acc = jnp.where(opaque, c_acc, c_new)
+        t_acc = jnp.where(opaque, t_acc, t_new)
         return (c_acc, t_acc), None
 
     c0 = jnp.zeros((out_h, out_w, 3), jnp.float32)

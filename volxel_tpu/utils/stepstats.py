@@ -32,6 +32,10 @@ def _operands(renderer):
 
 MAX_RAYS = 1 << 18  # cap the instrumented wavefront (large lane counts
 # compile slowly and have crashed the tunneled TPU worker; NOTES.md)
+CHUNK = 1 << 15  # lanes per instrumented block: the monolithic 256k-lane
+# jit took 104 s to compile at 1080p/256^3 and faulted the TPU worker at
+# 512^3 (BENCH_r02); lax.map over blocks mirrors render_pixels' chunking
+# (pathtrace.py), which exists for exactly this reason.
 
 
 def step_statistics(renderer, mode: str | None = None, sample_index: int = 0) -> dict:
@@ -56,35 +60,57 @@ def step_statistics(renderer, mode: str | None = None, sample_index: int = 0) ->
     w, h = r.width, r.height
     total = w * h
     stride = max(1, -(-total // MAX_RAYS))
-    pixel_index = jnp.arange(0, total, stride, dtype=jnp.uint32)
-    n = pixel_index.shape[0]
+    pixel_index_np = np.arange(0, total, stride, dtype=np.uint32)
+    n = pixel_index_np.shape[0]
+    # pad to a CHUNK multiple; padding lanes are inactive (active=False) and
+    # sliced away on the host before computing the percentiles
+    pad = (-n) % CHUNK
+    pixel_index = jnp.asarray(
+        np.concatenate([pixel_index_np, np.zeros((pad,), np.uint32)])
+    )
+    active_all = jnp.asarray(
+        np.concatenate([np.ones((n,), bool), np.zeros((pad,), bool)])
+    )
 
     sample_volume, transmittance = modes.MODE_FUNCTIONS[mode]
     light = jnp.asarray(r.settings.light_dir, jnp.float32)
 
     @jax.jit
     def run():
-        state = seed_rays(pixel_index, jnp.uint32(sample_index))
-        state, jit2 = rng2(state)
-        px = (pixel_index % jnp.uint32(w)).astype(jnp.float32)
-        py = (pixel_index // jnp.uint32(w)).astype(jnp.float32)
-        tex = jnp.stack([(px + 0.5) / w, (py + 0.5) / h], axis=-1)
-        ndc = tex + (jit2 * 2.0 - 1.0) / jnp.array([w, h], jnp.float32)
-        rays = camera_rays(inv_view, inv_proj, ndc)
-        active = jnp.ones((n,), bool)
-        state, hit, t, _rgb, _le, s_steps = sample_volume(
-            grid, params, lut, rays.origin, rays.direction, state, active,
-            with_stats=True,
-        )
-        # shadow rays from the hit points toward the light (the NEE wavefront)
-        origin = rays.origin + t[..., None] * rays.direction
-        direction = jnp.broadcast_to(-light / jnp.linalg.norm(light), origin.shape)
-        state, _tr, t_steps = transmittance(
-            grid, params, lut, origin, direction, state, hit, with_stats=True
-        )
-        return s_steps, hit, t_steps
+        def one_block(args):
+            pixel_index, active = args
+            state = seed_rays(pixel_index, jnp.uint32(sample_index))
+            state, jit2 = rng2(state)
+            px = (pixel_index % jnp.uint32(w)).astype(jnp.float32)
+            py = (pixel_index // jnp.uint32(w)).astype(jnp.float32)
+            tex = jnp.stack([(px + 0.5) / w, (py + 0.5) / h], axis=-1)
+            ndc = tex + (jit2 * 2.0 - 1.0) / jnp.array([w, h], jnp.float32)
+            rays = camera_rays(inv_view, inv_proj, ndc)
+            state, hit, t, _rgb, _le, s_steps = sample_volume(
+                grid, params, lut, rays.origin, rays.direction, state, active,
+                with_stats=True,
+            )
+            # shadow rays from the hit points toward the light (NEE wavefront)
+            origin = rays.origin + t[..., None] * rays.direction
+            direction = jnp.broadcast_to(
+                -light / jnp.linalg.norm(light), origin.shape
+            )
+            state, _tr, t_steps = transmittance(
+                grid, params, lut, origin, direction, state, hit, with_stats=True
+            )
+            return s_steps, hit, t_steps
 
-    s_steps, hit, t_steps = (np.asarray(x) for x in run())
+        blocks = pixel_index.shape[0] // CHUNK
+        s_steps, hit, t_steps = jax.lax.map(
+            one_block,
+            (
+                pixel_index.reshape(blocks, CHUNK),
+                active_all.reshape(blocks, CHUNK),
+            ),
+        )
+        return s_steps.reshape(-1), hit.reshape(-1), t_steps.reshape(-1)
+
+    s_steps, hit, t_steps = (np.asarray(x)[:n] for x in run())
 
     s_cap = (
         modes.DDA_SAMPLE_MAX_STEPS if mode == "default" else modes.TRACKING_MAX_EVENTS
