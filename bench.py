@@ -32,15 +32,26 @@ import time
 import numpy as np
 
 
-def _time_mode(r, warmup: int = 2, timed: int = 12) -> float:
+def _time_mode(r, warmup: int = 2, timed: int = 12, blocks: int = 3) -> float:
+    """Median ms/frame of the best of `blocks` timing blocks.
+
+    The tunneled chip's throughput drifts up to ~2x within one process
+    (measured: identical code 0.12-0.32 ms/sample across minutes —
+    examples/ab_loop_cond.py, NOTES.md round 3); one block's median is a
+    coin flip. Best-block-median reports sustained capability and is
+    stable run-to-run.
+    """
     for _ in range(warmup):
         r.render_frame().block_until_ready()
-    times = []
-    for _ in range(timed):
-        t0 = time.perf_counter()
-        r.render_frame().block_until_ready()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1000.0)
+    best = []
+    for _ in range(blocks):
+        times = []
+        for _ in range(timed):
+            t0 = time.perf_counter()
+            r.render_frame().block_until_ready()
+            times.append(time.perf_counter() - t0)
+        best.append(np.median(times))
+    return float(min(best) * 1000.0)
 
 
 def _err(e: BaseException) -> str:

@@ -68,12 +68,21 @@ def main() -> None:
 
     ms_xla = _median_ms(lambda: xla(vol))
     ms_pal = _median_ms(lambda: pal(vol))
+    n_px = a.shape[0] * a.shape[1]
+    print(
+        f"shearwarp XLA:    {ms_xla:8.2f} ms/frame  ({n_px / ms_xla / 1e3:.1f} Mpix/s)"
+    )
+    print(
+        f"shearwarp Pallas: {ms_pal:8.2f} ms/frame  ({n_px / ms_pal / 1e3:.1f} Mpix/s)"
+        f"  -> {ms_xla / ms_pal:.2f}x vs XLA",
+        flush=True,
+    )
 
     # context: the wavefront raymarch MC mode at the same pixel count
     from volxel_tpu import Renderer
     from volxel_tpu.grid import construct_brick_grid
 
-    grid = construct_brick_grid(np.asarray(vol), transform=np.eye(4, np.float32))
+    grid = construct_brick_grid(np.asarray(vol), transform=np.eye(4, dtype=np.float32))
     side = a.shape[0]
     r = Renderer(width=side, height=side)
     r.restart_from_grid(grid)
@@ -82,14 +91,6 @@ def main() -> None:
     r.render_mode = "raymarch"
     ms_rm = _median_ms(lambda: r.render_frame(), n=6)
 
-    n_px = a.shape[0] * a.shape[1]
-    print(
-        f"shearwarp XLA:    {ms_xla:8.2f} ms/frame  ({n_px / ms_xla / 1e3:.1f} Mpix/s)"
-    )
-    print(
-        f"shearwarp Pallas: {ms_pal:8.2f} ms/frame  ({n_px / ms_pal / 1e3:.1f} Mpix/s)"
-        f"  -> {ms_xla / ms_pal:.2f}x vs XLA"
-    )
     print(
         f"raymarch MC mode: {ms_rm:8.2f} ms/sample ({side}x{side}, 1 progressive sample)"
     )

@@ -108,7 +108,11 @@ def test_timeseries_playback(grid):
     r.camera.zoom(2.0)
     player = TimeSeriesPlayer(r, vols)
     assert len(player) == 3
-    frames = list(player.play(samples_per_step=2))
+    # enough samples that the per-timestep hit statistics show: at 1-2
+    # samples the image is one MC realization, and with the reference's
+    # binary-shadow quirk a hit pixel is black regardless of density —
+    # two timesteps can coincide exactly (reference-exact RNG streams)
+    frames = list(player.play(samples_per_step=16))
     assert len(frames) == 3
     for t, img in frames:
         assert img.shape == (16, 16, 3)

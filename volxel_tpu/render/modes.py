@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from volxel_tpu.render.rays import Rays, ray_box_intersection
-from volxel_tpu.render.rng import rng
+from volxel_tpu.render.rng import rng_where
 from volxel_tpu.render.sampling import (
     DeviceGrid,
     VolumeParams,
@@ -84,7 +84,9 @@ def sample_volume_dda(
     ipos, idir = _to_index_space(params, origin, direction)
     ri = 1.0 / idir
 
-    state, xi = rng(state)
+    # GLSL consumes the tau draw after the box test (dda.glsl:76-77):
+    # box-missing / inactive lanes consume nothing
+    state, xi = rng_where(active & hit_box, state)
     t0 = near + 1e-6
     tau0 = -jnp.log(1.0 - xi)
     running0 = active & hit_box & (t0 < far)
@@ -140,13 +142,19 @@ def sample_volume_dda(
             * params.inv_maj,
         )
         d = params.vol_maj * rgba[..., 3]
-        state, xi1 = rng(state)
+        # GLSL draw protocol (dda.glsl:81-96): the real/null draw happens
+        # only on non-escaped collision iterations; the tau reset only on
+        # NULL collisions (a real collision returns before it). Masked
+        # consumption keeps per-lane streams identical to the reference
+        # (and independent of wavefront iteration count / sharding).
+        coll_live = running & collided & ~escaped
+        state, xi1 = rng_where(coll_live, state)
         real = xi1 * majorant < d
-        state, xi2 = rng(state)
+        state, xi2 = rng_where(coll_live & ~real, state)
         tau_reset = -jnp.log(1.0 - xi2)
 
         check = running & collided
-        new_hit = check & (~escaped) & real
+        new_hit = coll_live & real
         stop = check & (escaped | real)
 
         t = jnp.where(check, t_coll, jnp.where(running, t_new, t))
@@ -158,10 +166,6 @@ def sample_volume_dda(
         )
         rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
         hit = hit | new_hit
-        # lanes that are not running keep their RNG state: per-ray draw
-        # counts stay independent of the wavefront's iteration count, so
-        # results are identical under any pixel sharding
-        state = jnp.where(running[..., None], state, state_in)
         out = (state, t, tau, mip)
         if with_stats:
             steps = steps + running.astype(jnp.int32)
@@ -195,7 +199,7 @@ def transmittance_dda(
     ipos, idir = _to_index_space(params, origin, direction)
     ri = 1.0 / idir
 
-    state, xi = rng(state)
+    state, xi = rng_where(active & hit_box, state)  # dda.glsl:23-31
     t0 = near + 1e-6
     tau0 = -jnp.log(1.0 - xi)
     running0 = active & hit_box & (t0 < far)
@@ -248,10 +252,11 @@ def transmittance_dda(
             * params.inv_maj,
         )
         d = params.vol_maj * rgba[..., 3]
-        state, xi1 = rng(state)
+        check = running & collided & ~escaped
+        # real/null draw only on live collision iterations (dda.glsl:41-44)
+        state, xi1 = rng_where(check, state)
         real = xi1 * majorant < d
 
-        check = running & collided & ~escaped
         if physical:
             # proper ratio tracking: Tr *= 1 - density/local_majorant
             # (the unbiased null-collision update; extension beyond the
@@ -265,16 +270,18 @@ def transmittance_dda(
                 0.0, 1.0 - params.vol_maj / jnp.maximum(majorant, 1e-20)
             )
         tr_new = jnp.where(check & real, tr * ratio, tr)
-        # russian roulette on low transmittance (dda.glsl:50-54)
-        state, xi_rr = rng(state)
+        # russian roulette only when a real collision dropped Tr below the
+        # threshold (dda.glsl:50-54); a killed lane returns before the tau
+        # reset draw
         rr_active = check & real & (tr_new < 0.1)
+        state, xi_rr = rng_where(rr_active, state)
         killed = rr_active & (xi_rr < (1.0 - tr_new))
         tr_new = jnp.where(
             rr_active & ~killed, tr_new / jnp.maximum(tr_new, 1e-20), tr_new
         )
         tr = jnp.where(killed, 0.0, tr_new)
 
-        state, xi2 = rng(state)
+        state, xi2 = rng_where(check & ~killed, state)
         tau_reset = -jnp.log(1.0 - xi2)
 
         t = jnp.where(running & collided, t_coll, jnp.where(running, t_new, t))
@@ -284,7 +291,6 @@ def transmittance_dda(
             jnp.maximum(0.0, mip - MIP_SPEED_DOWN),
             jnp.where(running, mip_up, mip),
         )
-        state = jnp.where(running[..., None], state, state_in)
         if with_stats:
             steps = steps + running.astype(jnp.int32)
             running = running & ~killed & (t < far) & ~(collided & escaped)
@@ -312,7 +318,7 @@ def sample_volume_simple(
     )
     ipos, idir = _to_index_space(params, origin, direction)
 
-    state, xi = rng(state)
+    state, xi = rng_where(active & hit_box, state)  # normal.glsl:40
     t0 = near - jnp.log(1.0 - xi) * params.inv_maj
     running0 = active & hit_box & (t0 < far)
 
@@ -346,15 +352,16 @@ def sample_volume_simple(
         )
         d = params.vol_maj * rgba[..., 3]
         p_real = d * params.inv_maj
-        state, xi1 = rng(state)
+        # classify draw on every live iteration; the advance draw only on
+        # null collisions (a real one returns first, normal.glsl:47-53)
+        state, xi1 = rng_where(running, state)
         real = xi1 < p_real
         new_hit = running & real
         hit = hit | new_hit
         rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
-        state, xi2 = rng(state)
+        state, xi2 = rng_where(running & ~real, state)
         t_new = t - jnp.log(1.0 - xi2) * params.inv_maj
         t = jnp.where(running & ~real, t_new, t)
-        state = jnp.where(running[..., None], state, state_in)
         if with_stats:
             steps = steps + running.astype(jnp.int32)
             running = running & ~real & (t < far)
@@ -378,7 +385,7 @@ def transmittance_simple(
     )
     ipos, idir = _to_index_space(params, origin, direction)
 
-    state, xi = rng(state)
+    state, xi = rng_where(active & hit_box, state)  # normal.glsl:14
     t0 = near - jnp.log(1.0 - xi) * params.inv_maj
     running0 = active & hit_box & (t0 < far)
 
@@ -405,18 +412,18 @@ def transmittance_simple(
         )
         d = params.vol_maj * rgba[..., 3]
         tr_new = jnp.where(running, tr * (1.0 - d * params.inv_maj), tr)
-        # russian roulette (normal.glsl:20-26)
-        state, xi_rr = rng(state)
+        # russian roulette draw only below the threshold (normal.glsl:20-26);
+        # a killed lane returns before the advance draw
         rr_active = running & (tr_new < 0.1)
+        state, xi_rr = rng_where(rr_active, state)
         killed = rr_active & (xi_rr < (1.0 - tr_new))
         tr_new = jnp.where(
             rr_active & ~killed, tr_new / jnp.maximum(tr_new, 1e-20), tr_new
         )
         tr = jnp.where(killed, 0.0, tr_new)
-        state, xi2 = rng(state)
+        state, xi2 = rng_where(running & ~killed, state)
         t_new = t - jnp.log(1.0 - xi2) * params.inv_maj
         t = jnp.where(running, t_new, t)
-        state = jnp.where(running[..., None], state, state_in)
         if with_stats:
             steps = steps + running.astype(jnp.int32)
             running = running & ~killed & (t < far)
@@ -442,10 +449,12 @@ def sample_volume_raymarch(grid, params, lut, origin, direction, state, active):
     )
     ipos, idir = _to_index_space(params, origin, direction)
 
-    state, xi_tau = rng(state)
+    valid = active & hit_box
+    # tau target + start jitter consumed after the box test (raymarch.glsl:37-40)
+    state, xi_tau = rng_where(valid, state)
     tau_target = -jnp.log(1.0 - xi_tau)
     dt = (far - near) / RAYMARCH_STEPS
-    state, xi_j = rng(state)
+    state, xi_j = rng_where(valid, state)
     start = near + xi_j * dt
 
     n = origin.shape[0]
@@ -454,21 +463,22 @@ def sample_volume_raymarch(grid, params, lut, origin, direction, state, active):
     t_out = jnp.zeros((n,), jnp.float32)
     rgb_out = jnp.ones((n, 3), jnp.float32)
 
-    valid = active & hit_box
-
     def body(i, carry):
         state, tau, hit, t_out, rgb_out = carry
         t = jnp.minimum(start + i * dt, far)
+        # the GLSL returns on the hit step, so later steps consume no
+        # stochastic-filter draws (raymarch.glsl:42-55)
+        marching = valid & ~hit
         state, d_raw = lookup_density_stochastic(
-            grid, params, ipos + t[..., None] * idir, state
+            grid, params, ipos + t[..., None] * idir, state, mask=marching
         )
         rgba = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj)
         tau_new = tau + rgba[..., 3] * params.vol_maj * dt
-        new_hit = valid & ~hit & (tau_new >= tau_target)
+        new_hit = marching & (tau_new >= tau_target)
         hit = hit | new_hit
         t_out = jnp.where(new_hit, t, t_out)
         rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
-        tau = jnp.where(valid, tau_new, tau)
+        tau = jnp.where(marching, tau_new, tau)
         return (state, tau, hit, t_out, rgb_out)
 
     state, tau, hit, t_out, rgb_out = jax.lax.fori_loop(
@@ -484,18 +494,19 @@ def transmittance_raymarch(grid, params, lut, origin, direction, state, active):
     )
     ipos, idir = _to_index_space(params, origin, direction)
 
+    valid = active & hit_box
     dt = (far - near) / RAYMARCH_STEPS
-    state, xi_j = rng(state)
+    state, xi_j = rng_where(valid, state)  # raymarch.glsl:17
     start = near + xi_j * dt
 
     n = origin.shape[0]
-    valid = active & hit_box
 
     def body(i, carry):
         state, tau = carry
         t = jnp.minimum(start + i * dt, far)
+        # all 64 steps consume draws (no early out in raymarch.glsl:18-22)
         state, d_raw = lookup_density_stochastic(
-            grid, params, ipos + t[..., None] * idir, state
+            grid, params, ipos + t[..., None] * idir, state, mask=valid
         )
         alpha = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj)[..., 3]
         tau = tau + jnp.where(valid, alpha * params.vol_maj * dt, 0.0)

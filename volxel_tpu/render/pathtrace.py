@@ -31,7 +31,7 @@ from volxel_tpu.render.rays import (
     sample_phase_henyey_greenstein,
     sanitize,
 )
-from volxel_tpu.render.rng import rng, rng2, seed_rays
+from volxel_tpu.render.rng import rng2, rng2_where, rng_where, seed_rays
 from volxel_tpu.render.sampling import DeviceGrid, VolumeParams, lookup_transfer  # noqa: F401
 from volxel_tpu.scene.environment import (
     EnvState,
@@ -121,8 +121,11 @@ def trace_path(
             hit[..., None], throughput * params.albedo * rgb, throughput
         )
 
-        # next-event estimation toward the environment (fragment.frag:86-98)
-        state, xi2 = rng2(state)
+        # next-event estimation toward the environment (fragment.frag:86-98).
+        # Draws are consumed per-lane exactly as the GLSL does (only inside
+        # the loop body = rays that hit) — reference RNG-stream parity,
+        # pinned by tests/test_parity_oracle.py.
+        state, xi2 = rng2_where(active, state)
         if config.use_env:
             le_nee, pdf_nee, w_i = sample_environment(env, xi2)
         else:
@@ -149,10 +152,11 @@ def trace_path(
         # bounce cap (fragment.frag:101)
         active = active & (n_paths < config.bounces)
 
-        # russian roulette (fragment.frag:102-107)
+        # russian roulette: the draw happens only when rr_val < 0.1 on a
+        # live lane (fragment.frag:102-107)
         rr_val = luma(throughput)
-        state, xi_rr = rng(state)
         low = active & (rr_val < 0.1)
+        state, xi_rr = rng_where(low, state)
         killed = low & (xi_rr < 1.0 - rr_val)
         throughput = jnp.where(
             (low & ~killed)[..., None],
@@ -161,8 +165,8 @@ def trace_path(
         )
         active = active & ~killed
 
-        # scatter (fragment.frag:110-113)
-        state, xi_ph = rng2(state)
+        # scatter draw only for surviving lanes (fragment.frag:110-113)
+        state, xi_ph = rng2_where(active, state)
         new_dir = sample_phase_henyey_greenstein(direction, params.phase_g, xi_ph)
         f_p = jnp.where(
             active,

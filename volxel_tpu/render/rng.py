@@ -87,6 +87,31 @@ def rng3(state):
     return state, jnp.stack([a, b, c], axis=-1)
 
 
+def rng_where(mask, state):
+    """Masked draw: lanes where mask is False do NOT consume the draw.
+
+    The GLSL consumes draws conditionally (inside `if` bodies and after
+    early returns — e.g. dda.glsl only draws on collision iterations, and
+    skips the tau reset on a real collision). Per-lane stream parity with
+    the reference therefore requires conditional consumption, not just
+    conditional use; tests/test_parity_oracle.py pins this against the
+    scalar GLSL oracle. The returned value is meaningful only where mask
+    is True.
+    """
+    state2, x = rng(state)
+    return jnp.where(mask[..., None], state2, state), x
+
+
+def rng2_where(mask, state):
+    state2, x = rng2(state)
+    return jnp.where(mask[..., None], state2, state), x
+
+
+def rng3_where(mask, state):
+    state2, x = rng3(state)
+    return jnp.where(mask[..., None], state2, state), x
+
+
 def seed_rays(pixel_index, frame_index):
     """Per-ray state from pixel index + frame (fragment.frag:143-144)."""
     seed = tea(_U32(42) * jnp.asarray(pixel_index, _U32), jnp.asarray(frame_index, _U32))

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from volxel_tpu.grid.brick import BrickGrid
-from volxel_tpu.render.rng import rng3
+from volxel_tpu.render.rng import rng3, rng3_where
 
 
 class DeviceGrid(NamedTuple):
@@ -302,10 +302,13 @@ def lookup_density_trilinear(grid, params: VolumeParams, ipos):
     return params.density_scale * acc
 
 
-def stochastic_tricubic_offsets(ipos, state):
+def stochastic_tricubic_offsets(ipos, state, mask=None):
     """Weighted-reservoir tricubic tap selection (common.glsl:9-32).
 
-    Returns (state, iipos (...,3) int32) — the chosen tap location.
+    Returns (state, iipos (...,3) int32) — the chosen tap location. With
+    `mask`, lanes where it is False do not consume their rng3 draws
+    (reference draw-protocol parity: the GLSL only evaluates the filter on
+    live marching steps).
     """
     p = ipos - 0.5
     iipos = jnp.floor(p).astype(jnp.int32)
@@ -320,15 +323,20 @@ def stochastic_tricubic_offsets(ipos, state):
     idx = jnp.zeros_like(iipos)
     for tap, w in ((1, w1), (2, w2), (3, w3)):
         sum_w = sum_w + w
-        state, r = rng3(state)
+        if mask is None:
+            state, r = rng3(state)
+        else:
+            state, r = rng3_where(mask, state)
         take = r < w / jnp.maximum(1e-3, sum_w)
         idx = jnp.where(take, tap, idx)
     return state, iipos + idx - 1
 
 
-def lookup_density_stochastic(grid: DeviceGrid, params: VolumeParams, ipos, state):
+def lookup_density_stochastic(
+    grid: DeviceGrid, params: VolumeParams, ipos, state, mask=None
+):
     """Stochastic tricubic density (common.glsl:71-76)."""
-    state, tap = stochastic_tricubic_offsets(ipos, state)
+    state, tap = stochastic_tricubic_offsets(ipos, state, mask)
     return state, params.density_scale * lookup_density_brick_int(grid, tap)
 
 

@@ -163,18 +163,29 @@ def shearwarp_intermediate_xla(
 # ---------------------------------------------------------------------------
 
 
-def _sw_kernel(params_ref, vol_ref, lut_ref, c_ref, t_ref, c_acc, t_acc):
+def _sw_kernel(
+    params_ref, vol_ref, lut_ref, c_ref, t_ref, c_acc, t_acc, *, out_h, out_w
+):
     """One grid step = one slice. Accumulators live in VMEM scratch and
     persist across the sequential TPU grid; outputs written at the last
     step. Images are channel-first (3, H, W) so H, W ride the TPU's
-    (sublane, lane) tiling."""
+    (sublane, lane) tiling.
+
+    out_h/out_w are the LOGICAL intermediate dims (static); the canvas is
+    padded to the (8, 128) alignment tpu.dynamic_rotate requires, with
+    padding rows/cols starting at 0 transmittance so they never contribute
+    and never block the early-out."""
     z = pl.program_id(0)
     nz = pl.num_programs(0)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, t_acc.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, t_acc.shape, 1)
+    logical = (rows < out_h) & (cols < out_w)
 
     @pl.when(z == 0)
     def _():
         c_acc[:] = jnp.zeros_like(c_acc)
-        t_acc[:] = jnp.ones_like(t_acc)
+        t_acc[:] = logical.astype(jnp.float32)
 
     sx = params_ref[0]
     sy = params_ref[1]
@@ -210,8 +221,8 @@ def _sw_kernel(params_ref, vol_ref, lut_ref, c_ref, t_ref, c_acc, t_acc):
         r, g, b = chan(0), chan(1), chan(2)
         alpha = 1.0 - jnp.exp(-chan(3) * sigma_dt)
 
-        out_h = c_acc.shape[1]
-        out_w = c_acc.shape[2]
+        pad_h = c_acc.shape[1]
+        pad_w = c_acc.shape[2]
         zf = z.astype(jnp.float32)
         uy = jnp.clip(sy * zf + ty, 0.0, out_h - y_n - 1)
         ux = jnp.clip(sx * zf + tx, 0.0, out_w - x_n - 1)
@@ -220,30 +231,34 @@ def _sw_kernel(params_ref, vol_ref, lut_ref, c_ref, t_ref, c_acc, t_acc):
         fy = uy - iy.astype(jnp.float32)
         fx = ux - ix.astype(jnp.float32)
 
-        # bilinear placement via 2D weight masks on the full canvas:
-        # canvas coords (Y+1, X+1) window starting at (iy, ix)
+        # bilinear placement on the FULL canvas: static 4-tap fractional
+        # combine, then one dynamic rotate per axis (tpu.dynamic_rotate).
+        # Mosaic cannot lower dynamic-offset vector windows (it must prove
+        # sublane alignment — kernel fault on hardware, NOTES.md r3), but
+        # dynamic full-array rotates are native; the clip on (uy, ux)
+        # guarantees the rolled block never wraps.
         def place(img):
-            # pad by one, then weight the 4 taps in-register
-            p = jnp.pad(img, ((0, 1), (0, 1)))
-            p00 = p[: y_n + 1, : x_n + 1]
-            p10 = jnp.pad(img, ((1, 0), (0, 1)))[: y_n + 1, : x_n + 1]
-            p01 = jnp.pad(img, ((0, 1), (1, 0)))[: y_n + 1, : x_n + 1]
-            p11 = jnp.pad(img, ((1, 0), (1, 0)))[: y_n + 1, : x_n + 1]
-            return (
+            p00 = jnp.pad(img, ((0, 1), (0, 1)))
+            p10 = jnp.pad(img, ((1, 0), (0, 1)))
+            p01 = jnp.pad(img, ((0, 1), (1, 0)))
+            p11 = jnp.pad(img, ((1, 0), (1, 0)))
+            blk = (
                 p00 * (1 - fy) * (1 - fx)
                 + p10 * fy * (1 - fx)
                 + p01 * (1 - fy) * fx
                 + p11 * fy * fx
             )
+            canvas = jnp.pad(
+                blk, ((0, pad_h - (y_n + 1)), (0, pad_w - (x_n + 1)))
+            )
+            canvas = pltpu.roll(canvas, iy, 0)
+            return pltpu.roll(canvas, ix, 1)
 
         a_w = place(alpha)
-        t_win = t_acc[pl.ds(iy, y_n + 1), pl.ds(ix, x_n + 1)]
+        t_cur = t_acc[:]
         for i, img in enumerate((r, g, b)):
-            c_win = c_acc[i, pl.ds(iy, y_n + 1), pl.ds(ix, x_n + 1)]
-            c_acc[i, pl.ds(iy, y_n + 1), pl.ds(ix, x_n + 1)] = (
-                c_win + t_win * a_w * place(img)
-            )
-        t_acc[pl.ds(iy, y_n + 1), pl.ds(ix, x_n + 1)] = t_win * (1.0 - a_w)
+            c_acc[i] = c_acc[i] + t_cur * a_w * place(img)
+        t_acc[:] = t_cur * (1.0 - a_w)
 
     @pl.when(z == nz - 1)
     def _():
@@ -260,6 +275,9 @@ def shearwarp_intermediate_pallas(
     out_w = x_n + int(np.ceil(abs(sx) * (z_n - 1))) + 1
     ty = max(0.0, -sy * (z_n - 1))
     tx = max(0.0, -sx * (z_n - 1))
+    # tpu.dynamic_rotate needs (sublane, lane)-aligned shapes
+    pad_h = -(-out_h // 8) * 8
+    pad_w = -(-out_w // 128) * 128
 
     params = jnp.asarray(
         [sx, sy, tx, ty, float(inv_maj), float(sigma_dt)], jnp.float32
@@ -279,28 +297,30 @@ def shearwarp_intermediate_pallas(
         ],
         out_specs=[
             pl.BlockSpec(
-                (3, out_h, out_w), lambda z: (0, 0, 0), memory_space=pltpu.VMEM
+                (3, pad_h, pad_w), lambda z: (0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (out_h, out_w), lambda z: (0, 0), memory_space=pltpu.VMEM
+                (pad_h, pad_w), lambda z: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, out_h, out_w), jnp.float32),
-            pltpu.VMEM((out_h, out_w), jnp.float32),
+            pltpu.VMEM((3, pad_h, pad_w), jnp.float32),
+            pltpu.VMEM((pad_h, pad_w), jnp.float32),
         ],
     )
     c_acc, t_acc = pl.pallas_call(
-        _sw_kernel,
+        functools.partial(_sw_kernel, out_h=out_h, out_w=out_w),
         out_shape=[
-            jax.ShapeDtypeStruct((3, out_h, out_w), jnp.float32),
-            jax.ShapeDtypeStruct((out_h, out_w), jnp.float32),
+            jax.ShapeDtypeStruct((3, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
     )(params, volume, lut)
+    c_acc = c_acc[:, :out_h, :out_w]
+    t_acc = t_acc[:out_h, :out_w]
     return jnp.transpose(c_acc, (1, 2, 0)), t_acc
 
 

@@ -115,8 +115,11 @@ def _bilinear_wrap_clamp(tex: jax.Array, u, v):
     fy = (y - y0)[..., None]
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     x1i = jnp.mod(x0i + 1, w)
+    # GL CLAMP_TO_EDGE clamps each tap independently: for y0 = -1 the two
+    # rows are clamp(-1)=0 and clamp(0)=0 — NOT rows 0 and 1 (caught by
+    # the scalar GLSL oracle at the equirect poles, tests/oracle.py)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
     t00 = tex[y0i, x0i]
     t10 = tex[y0i, x1i]
     t01 = tex[y1i, x0i]
