@@ -222,3 +222,72 @@ def test_compressed_series_through_full_ingest(ct_slice):
     b = read_dicom_series(comp)
     assert np.array_equal(a.data, b.data)
     assert np.array_equal(a.histogram, b.histogram)
+
+
+# -- JPEG XL (1.2.840.10008.1.2.4.110/.112) -----------------------------------
+# Reference parity: dicom_preprocessor decodes JPEG XL via its `jpegxl`
+# feature (Cargo.toml:25). Encode side is the system libjxl — an external
+# implementation, so these are not self-round-trip tests of repo code.
+
+
+def _jxl_or_skip():
+    from volxel_tpu.ingest import jxl
+
+    if not jxl.jxl_available():
+        pytest.skip("libjxl not available")
+    return jxl
+
+
+def test_dicom_jxl_lossless_exact():
+    jxl = _jxl_or_skip()
+    from volxel_tpu.ingest.dicom import parse_dicom
+
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 4096, (32, 48), dtype=np.uint16)
+    blob = write_dicom_slice(
+        pixels,
+        bits_stored=12,
+        transfer_syntax="1.2.840.10008.1.2.4.110",
+        encoded_frames=[jxl.encode_jxl(pixels, lossless=True)],
+    )
+    np.testing.assert_array_equal(parse_dicom(blob).pixel_array()[0], pixels)
+
+
+def test_dicom_jxl_lossy_decodes():
+    jxl = _jxl_or_skip()
+    from volxel_tpu.ingest.dicom import parse_dicom
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    pixels = ((np.sin(yy / 9.0) + np.cos(xx / 7.0) + 2) * 60).astype(np.uint8)
+    blob = write_dicom_slice(
+        pixels.astype(np.uint16),
+        bits_stored=8,
+        bits_allocated=8,
+        transfer_syntax="1.2.840.10008.1.2.4.112",
+        encoded_frames=[jxl.encode_jxl(pixels, lossless=False, distance=1.0)],
+    )
+    decoded = parse_dicom(blob).pixel_array()[0]
+    assert decoded.shape == pixels.shape
+    # lossy: smooth content survives within a tight band
+    err = np.abs(decoded.astype(int) - pixels.astype(int))
+    assert err.mean() < 2.0 and err.max() < 16
+
+
+def test_dicom_jxl_in_series_to_grid():
+    """Whole pipeline: JXL series -> volume -> brick grid."""
+    jxl = _jxl_or_skip()
+    from volxel_tpu.ingest.series import read_dicoms_to_grid
+
+    vol = synthetic_ct_volume((12, 16, 16), bits_stored=12)
+    blobs = [
+        write_dicom_slice(
+            vol[z],
+            bits_stored=12,
+            instance_number=z + 1,
+            transfer_syntax="1.2.840.10008.1.2.4.110",
+            encoded_frames=[jxl.encode_jxl(vol[z], lossless=True)],
+        )
+        for z in range(vol.shape[0])
+    ]
+    grid = read_dicoms_to_grid(blobs)
+    assert grid.index_extent[2] >= 12

@@ -37,16 +37,19 @@ JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
 JPEG_2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
 JPEG_2000 = "1.2.840.10008.1.2.4.91"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+JPEG_XL_LOSSLESS = "1.2.840.10008.1.2.4.110"
+JPEG_XL_RECOMPRESSION = "1.2.840.10008.1.2.4.111"
+JPEG_XL = "1.2.840.10008.1.2.4.112"
 
 _JPEG_SYNTAXES = (JPEG_BASELINE, JPEG_EXTENDED, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1)
 _J2K_SYNTAXES = (JPEG_2000_LOSSLESS, JPEG_2000)
-_ENCAPSULATED_SYNTAXES = _JPEG_SYNTAXES + _J2K_SYNTAXES + (RLE_LOSSLESS,)
+_JXL_SYNTAXES = (JPEG_XL_LOSSLESS, JPEG_XL_RECOMPRESSION, JPEG_XL)
+_ENCAPSULATED_SYNTAXES = (
+    _JPEG_SYNTAXES + _J2K_SYNTAXES + _JXL_SYNTAXES + (RLE_LOSSLESS,)
+)
 _NAMED_UNSUPPORTED = {
     JPEG_LS_LOSSLESS: "JPEG-LS Lossless",
     JPEG_LS_NEAR: "JPEG-LS Near-Lossless",
-    "1.2.840.10008.1.2.4.110": "JPEG XL Lossless",
-    "1.2.840.10008.1.2.4.111": "JPEG XL Recompression",
-    "1.2.840.10008.1.2.4.112": "JPEG XL",
 }
 
 # tags (group, element) — reference lib.rs:36-45
@@ -236,6 +239,30 @@ class DicomFile:
                 if img.shape != (rows, cols):
                     raise DicomError(
                         f"JPEG 2000 frame shape {img.shape} != ({rows}, {cols})"
+                    )
+                out[i] = img.astype(np.uint16)
+        elif syntax in _JXL_SYNTAXES:
+            # reference parity: dicom_preprocessor's `jpegxl` feature
+            # (Cargo.toml:25); decoded via the system libjxl (ingest/jxl.py)
+            from volxel_tpu.ingest import jxl
+
+            if not jxl.jxl_available():
+                raise DicomError(
+                    "JPEG XL pixel data needs libjxl, which is not "
+                    "available in this environment"
+                )
+            for i, stream in enumerate(streams):
+                try:
+                    img = jxl.decode_jxl(stream)
+                except (ValueError, RuntimeError) as e:
+                    raise DicomError(f"JPEG XL decode failed: {e}") from e
+                if img.ndim != 2:
+                    raise DicomError(
+                        "More than one sample per pixel not currently supported"
+                    )
+                if img.shape != (rows, cols):
+                    raise DicomError(
+                        f"JPEG XL frame shape {img.shape} != ({rows}, {cols})"
                     )
                 out[i] = img.astype(np.uint16)
         elif syntax == RLE_LOSSLESS:

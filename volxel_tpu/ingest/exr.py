@@ -1,11 +1,14 @@
 """Minimal OpenEXR decoder in numpy (no OpenEXR bindings in this env).
 
-Covers the common scanline EXR variants an environment-map workflow meets
-(the reference delegates this to the Rust `image` crate, hdr.rs:23-36):
-single-part scanline images, HALF/FLOAT channels, compression NONE, ZIPS
-(1 line/chunk), ZIP (16 lines/chunk) and PIZ (32 lines/chunk — the single
-most common wild HDRI compression; codec in ingest/piz.py). Tiled, deep,
-multi-part, PXR24/B44/DWA files raise EnvDecodeError.
+Covers the common EXR variants an environment-map workflow meets (the
+reference delegates this to the Rust `image` crate, hdr.rs:23-36):
+single-part SCANLINE and TILED (one-level or mipmap level 0) images,
+HALF/FLOAT/UINT channels, compression NONE, ZIPS (1 line/chunk), ZIP
+(16 lines/chunk), PIZ (32 lines/chunk — the single most common wild HDRI
+compression; codec in ingest/piz.py) and PXR24 (zlib + 24-bit float
+truncation; lossless for HALF channels). B44/DWA files raise
+EnvDecodeError. External-implementation fixtures written by the canonical
+OpenEXR library live in tests/fixtures/ (tests/test_exr_external.py).
 
 Output: (height, width, 4) float32 RGBA, row 0 = image top (dataWindow
 yMin), alpha 1 where absent — same contract as decode_hdr.
@@ -67,6 +70,83 @@ def _unzip_block(data: bytes) -> bytes:
     return out.tobytes()
 
 
+def _unpxr24(payload: bytes, channels, width: int, rows: int) -> bytes:
+    """PXR24 chunk decode (ImfPxr24Compressor semantics): zlib inflate,
+    then per row x channel undo the previous-pixel differencing over
+    byte-split planes. HALF channels round-trip losslessly; FLOATs were
+    truncated to 24 bits by the WRITER (reassembled as bits << 8)."""
+    raw = np.frombuffer(zlib.decompress(payload), np.uint8)
+    out = bytearray()
+    p = 0
+    for _ in range(rows):
+        for _, ptype in channels:
+            if ptype == 1:  # HALF: 2 planes, 16-bit running sum
+                if p + 2 * width > len(raw):
+                    raise EnvDecodeError("PXR24 chunk truncated")
+                b0 = raw[p : p + width].astype(np.uint32)
+                b1 = raw[p + width : p + 2 * width].astype(np.uint32)
+                p += 2 * width
+                diff = (b0 << 8) | b1
+                pix = np.cumsum(diff, dtype=np.uint64).astype(np.uint32) & 0xFFFF
+                out += pix.astype("<u2").tobytes()
+            elif ptype == 2:  # FLOAT: 3 planes, 24-bit running sum, bits<<8
+                b0 = raw[p : p + width].astype(np.uint32)
+                b1 = raw[p + width : p + 2 * width].astype(np.uint32)
+                b2 = raw[p + 2 * width : p + 3 * width].astype(np.uint32)
+                p += 3 * width
+                diff = (b0 << 16) | (b1 << 8) | b2
+                pix = np.cumsum(diff, dtype=np.uint64).astype(np.uint32) & 0xFFFFFF
+                out += (pix << 8).astype("<u4").tobytes()
+            else:  # UINT: 4 planes, 32-bit running sum
+                b = [
+                    raw[p + i * width : p + (i + 1) * width].astype(np.uint64)
+                    for i in range(4)
+                ]
+                p += 4 * width
+                diff = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+                pix = np.cumsum(diff, dtype=np.uint64).astype(np.uint32)
+                out += pix.astype("<u4").tobytes()
+    return bytes(out)
+
+
+def _make_decomp(compression: int, channels):
+    """-> (lines_per_chunk, decomp(payload, expected, width, rows))."""
+    if compression == 0:
+        return 1, lambda b, expected, width, rows: b
+    if compression == 2:  # ZIPS
+        return 1, lambda b, expected, width, rows: _maybe_unzip(b, expected)
+    if compression == 3:  # ZIP
+        return 16, lambda b, expected, width, rows: _maybe_unzip(b, expected)
+    if compression == 4:  # PIZ
+        from volxel_tpu.ingest.piz import PizError, piz_uncompress
+
+        piz_channels = [
+            (_PIXEL_SIZES[pt] // 2, _PIXEL_SIZES[pt]) for _, pt in channels
+        ]
+
+        def _unpiz(b, expected, width, rows):
+            if len(b) == expected:
+                return b  # writer stored raw when compression didn't help
+            try:
+                return piz_uncompress(b, piz_channels, width, rows)
+            except PizError as e:
+                raise EnvDecodeError(f"PIZ decode failed: {e}") from e
+
+        return 32, _unpiz
+    if compression == 5:  # PXR24
+
+        def _pxr(b, expected, width, rows):
+            if len(b) == expected:
+                return b
+            return _unpxr24(b, channels, width, rows)
+
+        return 16, _pxr
+    raise EnvDecodeError(
+        f"EXR compression {compression} not supported "
+        "(NONE/ZIPS/ZIP/PIZ/PXR24 only)"
+    )
+
+
 def decode_exr(data: bytes) -> np.ndarray:
     buf = memoryview(data)
     if len(data) < 8 or struct.unpack_from("<I", buf, 0)[0] != MAGIC:
@@ -74,15 +154,15 @@ def decode_exr(data: bytes) -> np.ndarray:
     version, flags = buf[4], buf[5]
     if version != 2:
         raise EnvDecodeError(f"Unsupported EXR version {version}")
-    if flags & 0x02:
-        raise EnvDecodeError("Tiled EXR is not supported")
+    tiled = bool(flags & 0x02)
     if flags & 0x10 or flags & 0x08:
         raise EnvDecodeError("Multi-part/deep EXR is not supported")
 
     pos = 8
-    channels: list[tuple[str, int]] | None = None
+    channels = None
     data_window = None
     compression = None
+    tile_desc = None
     while True:
         if buf[pos] == 0:
             pos += 1
@@ -99,6 +179,9 @@ def decode_exr(data: bytes) -> np.ndarray:
             data_window = struct.unpack("<4i", value)
         elif name == "compression":
             compression = value[0]
+        elif name == "tiles":
+            tx, ty, mode = struct.unpack("<IIB", value)
+            tile_desc = (tx, ty, mode & 0xF, mode >> 4)
 
     if channels is None or data_window is None or compression is None:
         raise EnvDecodeError("EXR header missing required attributes")
@@ -106,62 +189,64 @@ def decode_exr(data: bytes) -> np.ndarray:
     width = x_max - x_min + 1
     height = y_max - y_min + 1
 
-    if compression == 0:
-        lines_per_chunk, decomp = 1, lambda b, expected, rows: b
-    elif compression == 2:  # ZIPS
-        lines_per_chunk, decomp = 1, lambda b, expected, rows: _maybe_unzip(b, expected)
-    elif compression == 3:  # ZIP
-        lines_per_chunk, decomp = 16, lambda b, expected, rows: _maybe_unzip(b, expected)
-    elif compression == 4:  # PIZ
-        from volxel_tpu.ingest.piz import PizError, piz_uncompress
-
-        piz_channels = [
-            (_PIXEL_SIZES[pt] // 2, _PIXEL_SIZES[pt]) for _, pt in channels
-        ]
-
-        def _unpiz(b, expected, rows):
-            if len(b) == expected:
-                return b  # writer stored raw when compression didn't help
-            try:
-                return piz_uncompress(b, piz_channels, width, rows)
-            except PizError as e:
-                raise EnvDecodeError(f"PIZ decode failed: {e}") from e
-
-        lines_per_chunk, decomp = 32, _unpiz
-    else:
-        raise EnvDecodeError(
-            f"EXR compression {compression} not supported (NONE/ZIPS/ZIP/PIZ only)"
-        )
-
-    n_chunks = -(-height // lines_per_chunk)
-    offsets = struct.unpack_from(f"<{n_chunks}q", buf, pos)
+    lines_per_chunk, decomp = _make_decomp(compression, channels)
 
     ch_sizes = {name: _PIXEL_SIZES[pt] for name, pt in channels}
+    row_bytes_per_px = sum(ch_sizes[n] for n, _ in channels)
     planes = {
         name: np.zeros((height, width), np.float32)
         for name, _ in channels
         if name in ("R", "G", "B", "A", "Y")
     }
 
-    for off in offsets:
-        y, chunk_size = struct.unpack_from("<ii", buf, off)
-        payload = bytes(buf[off + 8 : off + 8 + chunk_size])
-        rows = min(lines_per_chunk, y_max - y + 1)
-        expected = rows * sum(ch_sizes[n] for n, _ in channels) * width
-        payload = decomp(payload, expected, rows)
-        if len(payload) != expected:
-            raise EnvDecodeError("EXR chunk size mismatch")
+    def scatter(payload: bytes, x0: int, y0: int, w: int, rows: int) -> None:
         p = 0
         for r in range(rows):
-            row = y - y_min + r
-            for name, ptype in channels:  # stored in header (alphabetical) order
-                nbytes = width * ch_sizes[name]
+            row = y0 + r
+            for name, ptype in channels:  # header (alphabetical) order
+                nbytes = w * ch_sizes[name]
                 if name in planes:
                     vals = np.frombuffer(
-                        payload, _PIXEL_DTYPES[ptype], count=width, offset=p
+                        payload, _PIXEL_DTYPES[ptype], count=w, offset=p
                     )
-                    planes[name][row] = vals.astype(np.float32)
+                    planes[name][row, x0 : x0 + w] = vals.astype(np.float32)
                 p += nbytes
+
+    if tiled:
+        if tile_desc is None:
+            raise EnvDecodeError("Tiled EXR missing the tiles attribute")
+        tw, th, mode, _rounding = tile_desc
+        if mode == 2:
+            raise EnvDecodeError("Ripmap EXR is not supported")
+        # ONE_LEVEL, or level (0,0) of a MIPMAP file — its tiles come
+        # first in the offset table either way
+        nx = -(-width // tw)
+        ny = -(-height // th)
+        offsets = struct.unpack_from(f"<{nx * ny}q", buf, pos)
+        for off in offsets:
+            dx, dy, lx, ly, chunk_size = struct.unpack_from("<5i", buf, off)
+            if lx != 0 or ly != 0:
+                continue
+            payload = bytes(buf[off + 20 : off + 20 + chunk_size])
+            w = min(tw, width - dx * tw)
+            rows = min(th, height - dy * th)
+            expected = rows * row_bytes_per_px * w
+            payload = decomp(payload, expected, w, rows)
+            if len(payload) != expected:
+                raise EnvDecodeError("EXR tile size mismatch")
+            scatter(payload, dx * tw, dy * th, w, rows)
+    else:
+        n_chunks = -(-height // lines_per_chunk)
+        offsets = struct.unpack_from(f"<{n_chunks}q", buf, pos)
+        for off in offsets:
+            y, chunk_size = struct.unpack_from("<ii", buf, off)
+            payload = bytes(buf[off + 8 : off + 8 + chunk_size])
+            rows = min(lines_per_chunk, y_max - y + 1)
+            expected = rows * row_bytes_per_px * width
+            payload = decomp(payload, expected, width, rows)
+            if len(payload) != expected:
+                raise EnvDecodeError("EXR chunk size mismatch")
+            scatter(payload, 0, y - y_min, width, rows)
 
     out = np.zeros((height, width, 4), np.float32)
     if "Y" in planes and "R" not in planes:
