@@ -165,3 +165,112 @@ def test_page_has_controls(server):
     page = _get(server, "/").read().decode()
     for control in ("density_multiplier", "exposure", "gamma", "hist", "mode"):
         assert f'id="{control}"' in page
+
+
+# -- round-3 widgets + hardening (VERDICT r2 items 7, 8) -----------------------
+
+
+def test_transfer_endpoint_roundtrip(server):
+    t = json.loads(_get(server, "/transfer").read())
+    assert t["type"] == "color_stops" and len(t["colors"]) >= 2
+    stops = [
+        {"color": [1.0, 0.2, 0.1, 0.0], "stop": 0.0},
+        {"color": [0.1, 0.9, 1.0, 0.8], "stop": 0.5},
+        {"color": [1.0, 1.0, 1.0, 1.0], "stop": 1.0},
+    ]
+    _post(server, "/transfer", {"colors": stops})
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        t = json.loads(_get(server, "/transfer").read())
+        if len(t["colors"]) == 3:
+            break
+        time.sleep(0.1)
+    assert [c["stop"] for c in t["colors"]] == [0.0, 0.5, 1.0]
+
+
+def test_light_drag_updates_direction(server):
+    before = json.loads(_get(server, "/state").read())["settings"]["lighting"][
+        "lightDir"
+    ]
+    _post(server, "/input", {"type": "light_drag", "by": [40, -25]})
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        after = json.loads(_get(server, "/state").read())["settings"]["lighting"][
+            "lightDir"
+        ]
+        if not np.allclose(after, before):
+            break
+        time.sleep(0.1)
+    assert not np.allclose(after, before)
+    assert np.isclose(np.linalg.norm(after), 1.0, atol=1e-5)
+
+
+def test_settings_export_import_cycle(server):
+    export = json.loads(_get(server, "/settings.json").read())
+    assert export["version"] == "v3"
+    export["display"]["exposure"] = 7.25
+    _post(server, "/settings_import", export)
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        state = json.loads(_get(server, "/state").read())
+        if state["settings"]["display"]["exposure"] == 7.25:
+            break
+        time.sleep(0.1)
+    assert state["settings"]["display"]["exposure"] == 7.25
+
+
+def test_settings_import_rejects_bad_schema(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(server, "/settings_import", {"version": "v3", "nonsense": 1})
+    assert exc.value.code == 400
+
+
+def test_benchmark_roundtrip(server):
+    _post(server, "/benchmark", {"samples": 3})
+    deadline = time.time() + 60
+    result = None
+    while time.time() < deadline:
+        result = json.loads(_get(server, "/benchmark_result").read())
+        if result.get("running") is False and "time_per_sample_ms" in result:
+            break
+        time.sleep(0.2)
+    assert result and result["running"] is False
+    assert result["time_per_sample_ms"] > 0
+    assert result["viewport"] == [32, 32]
+    assert "device" in result
+
+
+def test_render_error_surfaces_and_recovers(server):
+    """A settings value that passes setattr but kills the render (bounces=0
+    -> empty trace loop is fine; use a malformed sample_range) must surface
+    at /state and auto-revert instead of freezing the stream (ADVICE r2)."""
+    _post(server, "/settings", {"sample_range": "garbage"})
+    deadline = time.time() + 60
+    saw_error = False
+    while time.time() < deadline:
+        state = json.loads(_get(server, "/state").read())
+        if state["error"]:
+            saw_error = True
+            break
+        time.sleep(0.1)
+    assert saw_error, "render error never surfaced at /state"
+    # and the loop recovered: frames keep advancing afterwards
+    s0 = json.loads(_get(server, "/state").read())["samples"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        s1 = json.loads(_get(server, "/state").read())["samples"]
+        if s1 > s0:
+            break
+        time.sleep(0.2)
+    assert s1 > s0, "render loop did not recover after the bad setting"
+
+
+def test_page_has_round3_widgets(server):
+    page = _get(server, "/").read().decode()
+    for needle in (
+        "ramp", "lightpad", "exportbtn", "importfile", "benchbtn",
+        "/transfer", "light_drag", "/settings_import", "/benchmark",
+    ):
+        assert needle in page, needle

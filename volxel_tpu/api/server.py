@@ -56,6 +56,19 @@ body { margin: 0; background: #111; color: #ddd; font: 13px sans-serif; }
   <label>samples <input type="range" id="max_samples" min="10" max="5000" step="10" value="2000"></label>
 </div>
 <canvas id="hist" width="512" height="80" style="background:#000;cursor:col-resize"></canvas>
+<div style="display:flex;gap:10px;align-items:center">
+  <canvas id="ramp" width="512" height="48" style="background:#000;cursor:pointer"></canvas>
+  <input type="color" id="stopcolor" value="#ffffff" title="stop color">
+  <label>a <input type="range" id="stopalpha" min="0" max="1" step="0.01" value="1" style="width:70px"></label>
+</div>
+<div id="rampbar" style="opacity:.7">transfer: drag stop &middot; click empty = add &middot; dblclick = remove &middot; pick color/alpha for selected</div>
+<div style="display:flex;gap:14px;align-items:center">
+  <canvas id="lightpad" width="96" height="96" style="background:#000;border-radius:8px;cursor:move" title="drag to aim the light"></canvas>
+  <label><input type="checkbox" id="synclight"> light follows camera</label>
+  <button id="exportbtn">export settings</button>
+  <label style="border:1px solid #555;padding:2px 6px;cursor:pointer">import<input type="file" id="importfile" style="display:none"></label>
+  <button id="benchbtn">benchmark</button><span id="benchstat"></span>
+</div>
 </div><script>
 const view = document.getElementById('view');
 const stat = document.getElementById('stat');
@@ -148,6 +161,137 @@ hist.addEventListener('pointerup', () => {
   fetch('/settings', {method: 'POST', body: JSON.stringify({sample_range: range})});
 });
 drawHist();
+// transfer-function ramp editor (elements/colorramp.ts role): draggable
+// stops on a gradient strip, click to add, dblclick to remove
+const ramp = document.getElementById('ramp');
+const rctx = ramp.getContext('2d');
+let stops = [], sel = -1, sdrag = false;
+function hex(c) { return '#' + c.slice(0,3).map(v => Math.round(v*255).toString(16).padStart(2,'0')).join(''); }
+function unhex(h) { return [1,3,5].map(i => parseInt(h.slice(i,i+2),16)/255); }
+function drawRamp() {
+  const W = ramp.width, H = ramp.height;
+  const g = rctx.createLinearGradient(0, 0, W, 0);
+  for (const s of stops) g.addColorStop(s.stop, hex(s.color));
+  rctx.fillStyle = '#000'; rctx.fillRect(0,0,W,H);
+  rctx.fillStyle = g; rctx.fillRect(0, 0, W, H*0.6);
+  rctx.strokeStyle = '#8cf'; rctx.beginPath();
+  for (let i = 0; i < stops.length; i++) {
+    const x = stops[i].stop*W, y = H - stops[i].color[3]*H*0.38 - H*0.02;
+    if (i === 0) rctx.moveTo(x, y); else rctx.lineTo(x, y);
+  }
+  rctx.stroke();
+  for (let i = 0; i < stops.length; i++) {
+    const x = stops[i].stop*W;
+    rctx.fillStyle = i === sel ? '#fff' : '#999';
+    rctx.fillRect(x-3, 0, 6, H);
+    rctx.fillStyle = hex(stops[i].color);
+    rctx.fillRect(x-2, 1, 4, H-2);
+  }
+}
+function pushTransfer() {
+  fetch('/transfer', {method:'POST', body: JSON.stringify({colors: stops})});
+}
+async function loadTransfer() {
+  const t = await (await fetch('/transfer')).json();
+  if (t.colors && t.colors.length) stops = t.colors;
+  else stops = [{color:[1,1,1,0],stop:0},{color:[1,1,1,1],stop:1}];
+  drawRamp();
+}
+function rampX(e) {
+  const r = ramp.getBoundingClientRect();
+  return Math.min(1, Math.max(0, (e.clientX - r.left) / r.width));
+}
+ramp.addEventListener('pointerdown', e => {
+  const x = rampX(e);
+  let best = -1, bd = 0.02;
+  for (let i = 0; i < stops.length; i++) {
+    const d = Math.abs(stops[i].stop - x);
+    if (d < bd) { bd = d; best = i; }
+  }
+  if (best < 0) {  // add a stop with the interpolated color
+    stops.push({color: [1,1,1,0.5], stop: x});
+    stops.sort((a,b) => a.stop - b.stop);
+    best = stops.findIndex(s => s.stop === x);
+    pushTransfer();
+  }
+  sel = best; sdrag = true;
+  document.getElementById('stopcolor').value = hex(stops[sel].color);
+  document.getElementById('stopalpha').value = stops[sel].color[3];
+  ramp.setPointerCapture(e.pointerId);
+  drawRamp();
+});
+ramp.addEventListener('pointermove', e => {
+  if (!sdrag || sel < 0) return;
+  stops[sel].stop = rampX(e);
+  drawRamp();
+});
+ramp.addEventListener('pointerup', () => {
+  if (sdrag && sel >= 0) { stops.sort((a,b)=>a.stop-b.stop); pushTransfer(); drawRamp(); }
+  sdrag = false;
+});
+ramp.addEventListener('dblclick', e => {
+  if (sel >= 0 && stops.length > 2) {
+    stops.splice(sel, 1); sel = -1; pushTransfer(); drawRamp();
+  }
+});
+document.getElementById('stopcolor').addEventListener('input', e => {
+  if (sel < 0) return;
+  const a = stops[sel].color[3];
+  stops[sel].color = [...unhex(e.target.value), a];
+  pushTransfer(); drawRamp();
+});
+document.getElementById('stopalpha').addEventListener('input', e => {
+  if (sel < 0) return;
+  stops[sel].color[3] = parseFloat(e.target.value);
+  pushTransfer(); drawRamp();
+});
+loadTransfer();
+// light-direction pad (elements/cubeDirection.ts role): pixel drags map to
+// yaw/pitch server-side with the reference's 0.5 deg/px scale
+const pad = document.getElementById('lightpad');
+const pctx = pad.getContext('2d');
+let ldrag = null;
+function drawPad() {
+  pctx.clearRect(0,0,96,96);
+  pctx.strokeStyle = '#555'; pctx.beginPath(); pctx.arc(48,48,40,0,7); pctx.stroke();
+  pctx.fillStyle = '#fd5'; pctx.beginPath(); pctx.arc(48,48,5,0,7); pctx.fill();
+  pctx.fillText('light', 36, 90);
+}
+drawPad();
+pad.addEventListener('pointerdown', e => { ldrag = [e.clientX, e.clientY]; pad.setPointerCapture(e.pointerId); });
+pad.addEventListener('pointermove', e => {
+  if (!ldrag) return;
+  post({type: 'light_drag', by: [e.clientX - ldrag[0], e.clientY - ldrag[1]]});
+  ldrag = [e.clientX, e.clientY];
+});
+pad.addEventListener('pointerup', () => ldrag = null);
+document.getElementById('synclight').addEventListener('change', e => {
+  fetch('/settings', {method:'POST', body: JSON.stringify({sync_light_dir: e.target.checked})});
+});
+// settings export / import / benchmark (template.ts:279-396, viewer.ts:864)
+document.getElementById('exportbtn').addEventListener('click', () => {
+  window.location = '/settings.json';
+});
+document.getElementById('importfile').addEventListener('change', async e => {
+  const text = await e.target.files[0].text();
+  const resp = await fetch('/settings_import', {method:'POST', body: text});
+  if (!resp.ok) alert('import failed: ' + await resp.text());
+  else loadTransfer();
+});
+document.getElementById('benchbtn').addEventListener('click', async () => {
+  await fetch('/benchmark', {method:'POST', body: JSON.stringify({samples: 100})});
+  const stat = document.getElementById('benchstat');
+  const poll = setInterval(async () => {
+    const b = await (await fetch('/benchmark_result')).json();
+    if (b.running === false && b.time_per_sample_ms !== undefined) {
+      clearInterval(poll);
+      stat.textContent = b.time_per_sample_ms + ' ms/sample';
+      const a = document.createElement('a');
+      a.href = URL.createObjectURL(new Blob([JSON.stringify(b, null, 2)]));
+      a.download = 'volxel-benchmark.json'; a.click();
+    } else stat.textContent = (b.done || 0) + '/' + (b.samples || '?');
+  }, 500);
+});
 </script></body></html>"""
 
 
@@ -164,6 +308,9 @@ class PreviewServer:
         self._render_thread: threading.Thread | None = None
         self._httpd: ThreadingHTTPServer | None = None
         self._clip = None
+        self._light = None  # LightDirectionCube, created on first drag
+        self.last_error: str | None = None  # surfaced at /state
+        self._benchmark: dict | None = None  # {"samples": N, ...} job/result
 
     # -- render thread ---------------------------------------------------------
 
@@ -216,6 +363,37 @@ class PreviewServer:
                     raise ValueError(f"unknown setting {key!r}")
                 setattr(r.settings, key, value)
             return True
+        if t == "transfer":
+            # color-ramp editor commit (colorramp.ts:235-243)
+            r.set_transfer_colors(cmd["colors"])
+            return True
+        if t == "light_drag":
+            # light-direction cube drag (cubeDirection.ts:245-258)
+            from volxel_tpu.utils.lightcube import LightDirectionCube
+
+            if self._light is None:
+                self._light = LightDirectionCube()
+                try:
+                    self._light.direction = r.settings.light_dir
+                except ValueError:
+                    pass
+            dx, dy = cmd["by"]
+            self._light.drag(float(dx), float(dy))
+            r.settings.light_dir = list(self._light.direction)
+            return True
+        if t == "settings_import":
+            r.restore_settings(cmd["export"])
+            return True
+        if t == "benchmark":
+            # startBenchmark (viewer.ts:864): time the next N samples of
+            # the current scene on the render thread
+            self._benchmark = {
+                "samples": int(cmd.get("samples", 100)),
+                "done": 0,
+                "t0": time.perf_counter(),
+                "running": True,
+            }
+            return True
         raise ValueError(f"unknown input command {t!r}")
 
     def _encode_frame(self) -> None:
@@ -233,6 +411,7 @@ class PreviewServer:
 
     def _render_loop(self) -> None:
         r = self.renderer
+        snapshot = dict(vars(r.settings))
         while self._running:
             changed = False
             try:
@@ -241,14 +420,47 @@ class PreviewServer:
                     try:
                         changed |= self._apply(cmd)
                     except Exception as e:  # bad input must not kill the loop
-                        print(f"preview: input error: {e}")
+                        self.last_error = f"input error: {e}"
+                        print(f"preview: {self.last_error}")
             except queue.Empty:
                 pass
             if changed:
                 r.restart_rendering()
-            if r.frame_index * getattr(r, "sp", 1) < r.settings.max_samples:
-                r.render_frame()
-                self._encode_frame()
+            bench = self._benchmark
+            if r.frame_index * getattr(r, "sp", 1) < r.settings.max_samples or (
+                bench and bench["running"]
+            ):
+                # a raise here (e.g. a settings value that passes setattr
+                # but fails at trace time) must not silently kill the
+                # stream: revert to the last good settings and surface the
+                # error at /state (reference handleError, viewer.ts:797-821)
+                try:
+                    r.render_frame()
+                    self._encode_frame()
+                    self.last_error = None
+                    snapshot = dict(vars(r.settings))
+                except Exception as e:  # noqa: BLE001
+                    self.last_error = f"render error: {e}"
+                    print(f"preview: {self.last_error}")
+                    vars(r.settings).update(snapshot)
+                    r.restart_rendering()
+                    time.sleep(0.1)
+                    continue
+                if bench and bench["running"]:
+                    bench["done"] += getattr(r, "sp", 1)
+                    if bench["done"] >= bench["samples"]:
+                        total = time.perf_counter() - bench["t0"]
+                        from volxel_tpu.api.benchmark import device_fingerprint
+
+                        bench.update(
+                            running=False,
+                            total_time_s=round(total, 4),
+                            time_per_sample_ms=round(
+                                total / max(bench["done"], 1) * 1000.0, 4
+                            ),
+                            viewport=[r.width, r.height],
+                            device=device_fingerprint(),
+                        )
             else:
                 time.sleep(0.02)  # converged; idle until input
 
@@ -258,9 +470,14 @@ class PreviewServer:
         were built without the ingest pipeline."""
         if getattr(self, "_hist_cache", None) is not None:
             return self._hist_cache
-        dense = np.asarray(
-            self.renderer._device_grid.dense, dtype=np.float32
-        ).ravel()
+        dg = self.renderer._device_grid
+        if dg is not None and dg.dense is not None:
+            dense = np.asarray(dg.dense, dtype=np.float32).ravel()
+        else:
+            # over-budget grids carry no dense field; decode on the host
+            from volxel_tpu.render.sampling import decode_dense
+
+            dense = decode_dense(self.renderer.grid).ravel()
         hist, _ = np.histogram(dense, bins=256, range=(0.0, 1.0))
         hist = hist.astype(np.uint32)
         diff = np.diff(hist.astype(np.int64), prepend=0)
@@ -304,8 +521,39 @@ class PreviewServer:
                         "width": r.width,
                         "height": r.height,
                         "settings": r.export_settings(),
+                        "error": server.last_error,
                     }
                     self._send(200, "application/json", json.dumps(state).encode())
+                elif self.path == "/transfer":
+                    r = server.renderer
+                    body = json.dumps(
+                        {
+                            "type": r._transfer_type,
+                            "colors": r._transfer_colors
+                            if r._transfer_type == "color_stops"
+                            else [],
+                        }
+                    ).encode()
+                    self._send(200, "application/json", body)
+                elif self.path == "/settings.json":
+                    # settings export download (template.ts:279-396 button,
+                    # settings.ts:145-147)
+                    body = json.dumps(
+                        server.renderer.export_settings(), indent=2
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header(
+                        "Content-Disposition",
+                        'attachment; filename="volxel-settings.json"',
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/benchmark_result":
+                    b = server._benchmark
+                    body = json.dumps(b if b else {"running": False}).encode()
+                    self._send(200, "application/json", body)
                 elif self.path == "/histogram":
                     r = server.renderer
                     grid = r.grid
@@ -379,6 +627,27 @@ class PreviewServer:
                     self._send(200, "application/json", b'{"ok": true}')
                 elif self.path == "/settings":
                     server._commands.put({"type": "settings", "values": body})
+                    self._send(200, "application/json", b'{"ok": true}')
+                elif self.path == "/transfer":
+                    server._commands.put(
+                        {"type": "transfer", "colors": body.get("colors", [])}
+                    )
+                    self._send(200, "application/json", b'{"ok": true}')
+                elif self.path == "/settings_import":
+                    # verify BEFORE enqueueing so the client sees schema errors
+                    from volxel_tpu.api.settings import verify_settings
+
+                    try:
+                        verify_settings(body)
+                    except Exception as e:  # noqa: BLE001
+                        self._send(400, "text/plain", str(e).encode())
+                        return
+                    server._commands.put(
+                        {"type": "settings_import", "export": body}
+                    )
+                    self._send(200, "application/json", b'{"ok": true}')
+                elif self.path == "/benchmark":
+                    server._commands.put({"type": "benchmark", **body})
                     self._send(200, "application/json", b'{"ok": true}')
                 else:
                     self._send(404, "text/plain", b"not found")
