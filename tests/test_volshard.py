@@ -140,3 +140,35 @@ def test_slab_custom_axis_name(grid):
         )
     )
     assert np.array_equal(sharded, single)
+
+
+def test_slab_collective_budget(grid):
+    """Pins the slab design's communication shape: the per-tap psum
+    compiles to ONE all-reduce per traversal while_loop body (XLA merges
+    the owner-masked taps), not one per gather site — the whole frame's
+    ICI traffic is (iterations x lanes x 4B) on that handful of ops.
+    A regression adding collectives (e.g. psum-ing the majorant pyramid
+    or splitting the trilinear into 8 psums) fails this budget."""
+    import re
+
+    import jax.numpy as jnp
+
+    from volxel_tpu.api.renderer import Renderer
+    from volxel_tpu.parallel.shard import sharded_render_fn
+
+    r = Renderer(width=16, height=16)
+    r.restart_from_grid(grid)
+    r.camera.zoom(2.0)
+    r.settings.bounces = 1
+    r.render_frame()
+    config, dg, params, lut, env, inv_view, inv_proj, light = r._cached_operands
+
+    mesh = make_mesh(sp=1, px=2, vz=4)
+    sv = build_slabbed_volume(dg, mesh)
+    fn = sharded_render_fn(config, mesh, slab_axis="vz")
+    hlo = fn.lower(
+        sv, params, lut, env, inv_view, inv_proj, light, jnp.uint32(0)
+    ).compile().as_text()
+    n_allreduce = len(re.findall(r"all-reduce", hlo))
+    # sample loop + NEE transmittance loop (+ the sp pmean when sp>1)
+    assert 1 <= n_allreduce <= 4, f"collective budget blown: {n_allreduce}"
