@@ -83,7 +83,13 @@ def test_gather_probe():
     covers the 128-entry transfer LUT but NOT per-ray volume taps — hence
     shear-warp (gather-free slice translation) rather than a Pallas DDA.
     Runs in interpreter mode on CPU; on TPU hardware the same op was
-    verified to lower natively (see NOTES.md round-2 probes)."""
+    verified to lower natively. Round-3 re-probe on hardware (NOTES.md):
+    gathers are confined to ONE vreg along the gathered dimension
+    ("Multiple source vregs along gather dimension") — axis-0 gathers span
+    at most 8 sublanes, axis-1 at most 128 lanes, and flat/arbitrary-index
+    forms reject with "Only 2D gather is supported". A Pallas MC raymarch
+    over a VMEM-resident volume therefore cannot express its per-ray taps;
+    the evidence lives here so future Mosaic releases can be re-tested."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
