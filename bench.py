@@ -58,20 +58,56 @@ def _err(e: BaseException) -> str:
     return f"{type(e).__name__}: {e}"[:300]
 
 
-def main() -> None:
-    t_setup = time.time()
+def _build_benchmark_renderer(size: int, width: int, height: int):
+    """The benchmark scene (shared by the sweep and the --steps-only
+    subprocess so both measure the same state)."""
     from volxel_tpu import Renderer
     from volxel_tpu.grid import construct_brick_grid
     from volxel_tpu.utils.fixtures import synthetic_ct_volume
+
+    vol = synthetic_ct_volume((size, size, size), bits_stored=12)
+    grid = construct_brick_grid(
+        vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
+    )
+    r = Renderer(width=width, height=height)
+    r.restart_from_grid(grid)
+    r.camera.rotate_around_view(0.6, 0.4)
+    r.camera.zoom(2.0)
+    r.settings.bounces = 1
+    r.settings.max_samples = 10**9
+    r.set_transfer_colors(
+        [
+            {"color": [0.5686, 0.2549, 0.6745, 0.54], "stop": 0.0},
+            {"color": [0.9725, 0.8941, 0.3608, 1.0], "stop": 0.1782},
+            {"color": [0.0, 1.0, 1.0, 0.17], "stop": 0.3985},
+        ]
+    )
+    r.settings.sample_range = [0.0564, 1.0]
+    return r
+
+
+def _steps_only(size: int) -> None:
+    """Subprocess entry: print the step-statistics JSON for the scene."""
+    from volxel_tpu.utils.stepstats import step_statistics
+
+    r = _build_benchmark_renderer(size, 1920, 1080)
+    r.render_mode = "default"
+    print(json.dumps(step_statistics(r, "default")))
+
+
+def main() -> None:
+    t_setup = time.time()
+    from volxel_tpu.utils.fixtures import synthetic_ct_volume
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--steps-only":
+        _steps_only(int(sys.argv[2]))
+        return
 
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
     height = int(sys.argv[3]) if len(sys.argv) > 3 else 1080
 
     vol = synthetic_ct_volume((size, size, size), bits_stored=12)
-    grid = construct_brick_grid(
-        vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
-    )
 
     # ingest timing: DICOM ZIP -> grid, the reference's ">2 minutes" path
     # (README.md:12). Sliced at the benchmark volume size. Optional: any
@@ -100,50 +136,59 @@ def main() -> None:
             ingest_s = {"error": _err(e)}
     del vol
 
-    r = Renderer(width=width, height=height)
-    r.restart_from_grid(grid)
-    r.camera.rotate_around_view(0.6, 0.4)
-    r.camera.zoom(2.0)
-    # benchmark.json settings profile
-    r.settings.bounces = 1
-    r.settings.max_samples = 10**9
-    r.set_transfer_colors(
-        [
-            {"color": [0.5686, 0.2549, 0.6745, 0.54], "stop": 0.0},
-            {"color": [0.9725, 0.8941, 0.3608, 1.0], "stop": 0.1782},
-            {"color": [0.0, 1.0, 1.0, 0.17], "stop": 0.3985},
-        ]
-    )
-    r.settings.sample_range = [0.0564, 1.0]
+    r = _build_benchmark_renderer(size, width, height)
 
     setup_s = time.time() - t_setup
     print(f"# setup {setup_s:.1f}s (ingest {ingest_s}s), compiling...", file=sys.stderr)
 
     # reference-protocol mode sweep (performance.txt / benchmark.json).
     # Each mode individually guarded: one mode crashing must not zero the
-    # round's perf record.
+    # round's perf record. Two passes, minutes apart by construction, with
+    # per-mode bests: the tunnel's throughput drifts on a minutes scale
+    # (NOTES.md round 3), so back-to-back blocks alone can't escape a slow
+    # phase.
     sweep: dict[str, object] = {}
-    for mode in ("default", "no_dda", "raymarch"):
-        try:
-            r.render_mode = mode  # resets accumulation + respecializes the jit
-            t0 = time.time()
-            sweep[mode] = round(_time_mode(r), 3)
-            print(
-                f"# {mode}: {sweep[mode]} ms/sample (incl. compile {time.time() - t0:.0f}s)",
-                file=sys.stderr,
-            )
-        except Exception as e:  # noqa: BLE001
-            sweep[mode] = {"error": _err(e)}
-            print(f"# {mode}: FAILED {_err(e)}", file=sys.stderr)
+    for pass_i in range(2):
+        for mode in ("default", "no_dda", "raymarch"):
+            try:
+                r.render_mode = mode  # resets accumulation + respecializes
+                t0 = time.time()
+                ms = round(_time_mode(r), 3)
+                prev = sweep.get(mode)
+                sweep[mode] = min(prev, ms) if isinstance(prev, float) else ms
+                print(
+                    f"# pass {pass_i} {mode}: {ms} ms/sample "
+                    f"(incl. compile {time.time() - t0:.0f}s)",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # noqa: BLE001
+                if not isinstance(sweep.get(mode), float):
+                    sweep[mode] = {"error": _err(e)}
+                print(f"# {mode}: FAILED {_err(e)}", file=sys.stderr)
 
-    # step-count study on the benchmark scene (default mode). Optional.
+    # step-count study on the benchmark scene (default mode). Optional and
+    # DOUBLY guarded: it runs in a subprocess with a hard deadline — on a
+    # degraded chip the instrumented compile can take tens of minutes
+    # (observed r3), and a hang would blow the driver's budget just as
+    # surely as r2's kernel fault did.
     steps: object = None
     if isinstance(sweep.get("default"), float):
-        try:
-            r.render_mode = "default"
-            from volxel_tpu.utils.stepstats import step_statistics
+        import subprocess
 
-            steps = step_statistics(r, "default")
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", __file__, "--steps-only", str(size)],
+                capture_output=True,
+                text=True,
+                timeout=420,
+            )
+            if proc.returncode == 0 and proc.stdout.strip():
+                steps = json.loads(proc.stdout.strip().splitlines()[-1])
+            else:
+                steps = {"error": f"rc={proc.returncode}: {proc.stderr[-200:]}"}
+        except subprocess.TimeoutExpired:
+            steps = {"error": "step statistics timed out after 420s; skipped"}
+            print("# step stats: timed out, skipped", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             steps = {"error": _err(e)}
             print(f"# step stats: FAILED {_err(e)}", file=sys.stderr)

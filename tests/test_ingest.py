@@ -197,3 +197,48 @@ def test_exr_bad_inputs():
 
     with pytest.raises(EnvDecodeError):
         decode_exr(b"\x00" * 32)
+
+
+def test_zip_zstd_entries():
+    """ZIP method 93 (zstd) entries decode via the zstandard module —
+    parity with the reference zip crate's zstd feature (Cargo.toml:30)."""
+    import struct
+    import zlib
+
+    import zstandard
+
+    from volxel_tpu.ingest.ziploader import read_zip_to_grid
+    from volxel_tpu.utils.fixtures import synthetic_ct_volume, write_dicom_series
+
+    vol = synthetic_ct_volume((8, 16, 16), bits_stored=12)
+    blobs = write_dicom_series(vol, bits_stored=12)
+
+    # hand-roll a zip with method-93 entries (zipfile can't write them)
+    cctx = zstandard.ZstdCompressor()
+    out = bytearray()
+    central = bytearray()
+    offsets = []
+    for i, blob in enumerate(blobs):
+        name = f"series/slice_{i:04d}.dcm".encode()
+        comp = cctx.compress(blob)
+        crc = zlib.crc32(blob) & 0xFFFFFFFF
+        offsets.append(len(out))
+        out += b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH", 63, 0, 93, 0, 0, crc, len(comp), len(blob),
+            len(name), 0,
+        ) + name + comp
+    for i, blob in enumerate(blobs):
+        name = f"series/slice_{i:04d}.dcm".encode()
+        comp_len = len(cctx.compress(blob))
+        crc = zlib.crc32(blob) & 0xFFFFFFFF
+        central += b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII", 63, 63, 0, 93, 0, 0, crc, comp_len,
+            len(blob), len(name), 0, 0, 0, 0, 0, offsets[i],
+        ) + name
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, len(blobs), len(blobs), len(central), len(out), 0
+    )
+    archive = bytes(out) + bytes(central) + eocd
+
+    grid = read_zip_to_grid(archive)
+    assert grid.index_extent[2] >= 8

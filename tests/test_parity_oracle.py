@@ -137,3 +137,24 @@ def test_dense_field_deviation_is_bounded(scene_grid):
     denom = np.abs(imgs[False]) + 1e-2
     assert float(np.median(diff / denom)) < 0.01
     assert abs(imgs[True].mean() - imgs[False].mean()) < 0.01 * imgs[False].mean()
+
+
+@pytest.mark.parametrize("mode", ["default", "no_dda"])
+def test_multibounce_matches_oracle(scene_grid, mode):
+    """bounces=3 exercises the russian-roulette and phase-scatter draw
+    masking plus the escape-MIS f_p bookkeeping — none of which the
+    benchmark fixture's bounces=1 path reaches."""
+    r = _renderer(scene_grid, mode)
+    r.settings.bounces = 3
+    r.settings.density_multiplier = 2.0  # more hits -> more deep bounces
+    r.restart_rendering()
+    for _ in range(SAMPLES):
+        r.render_frame()
+    ours = np.asarray(r._framebuffer, np.float64)
+    theirs = Oracle(r).render(SAMPLES).astype(np.float64)
+    rel = np.abs(ours - theirs) / (np.abs(theirs) + 1e-3)
+    frac_tight = float((rel.max(axis=-1) < 1e-3).mean())
+    assert frac_tight > 0.97, (
+        f"mode={mode} bounces=3: only {frac_tight:.1%} within 0.1% "
+        f"(max rel {rel.max():.2e})"
+    )

@@ -22,6 +22,42 @@ class ZipIngestError(DicomError):
     pass
 
 
+ZIP_METHOD_ZSTD = 93  # APPNOTE 6.3.8; the reference's zip crate enables zstd
+
+
+def _read_entry(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
+    """zf.read with a zstd fallback (method 93, Cargo.toml:30 parity).
+
+    Python's zipfile knows stored/deflate/bzip2/lzma only; for zstd
+    entries the raw stream is read from the local header and inflated
+    with the zstandard module. PPMd (98) / Deflate64 (9) have no decoder
+    in this environment and keep zipfile's NotImplementedError.
+    """
+    if info.compress_type != ZIP_METHOD_ZSTD:
+        return zf.read(info)
+    import struct
+
+    import zstandard
+
+    fp = zf.fp
+    fp.seek(info.header_offset)
+    header = fp.read(30)
+    if header[:4] != b"PK\x03\x04":
+        raise ZipIngestError("corrupt local file header")
+    name_len, extra_len = struct.unpack("<HH", header[26:30])
+    fp.seek(info.header_offset + 30 + name_len + extra_len)
+    raw = fp.read(info.compress_size)
+    out = zstandard.ZstdDecompressor().decompress(
+        raw, max_output_size=info.file_size
+    )
+    if len(out) != info.file_size:
+        raise ZipIngestError(
+            f"zstd entry {info.filename}: size mismatch "
+            f"({len(out)} != {info.file_size})"
+        )
+    return out
+
+
 def _open_zip(source) -> zipfile.ZipFile:
     if isinstance(source, (bytes, bytearray, memoryview)):
         return zipfile.ZipFile(io.BytesIO(bytes(source)))
@@ -43,7 +79,7 @@ def read_zip_series(source) -> DicomSeries:
             raise ZipIngestError(
                 f"ZIP must contain a single folder of DICOM files, found: {sorted(folders)}"
             )
-        files = [parse_dicom(zf.read(i)) for i in entries]
+        files = [parse_dicom(_read_entry(zf, i)) for i in entries]
     return _fold_slices(files)
 
 

@@ -30,12 +30,15 @@ def _operands(renderer):
     return r._device_grid, r.volume_params(), r._lut, inv_view, inv_proj
 
 
-MAX_RAYS = 1 << 18  # cap the instrumented wavefront (large lane counts
-# compile slowly and have crashed the tunneled TPU worker; NOTES.md)
-CHUNK = 1 << 15  # lanes per instrumented block: the monolithic 256k-lane
+MAX_RAYS = 1 << 16  # cap the instrumented wavefront (large lane counts
+# compile slowly and have crashed the tunneled TPU worker; NOTES.md).
+# 64k uniformly strided pixels give the percentiles to well under 1%.
+CHUNK = 1 << 14  # lanes per instrumented block: the monolithic 256k-lane
 # jit took 104 s to compile at 1080p/256^3 and faulted the TPU worker at
 # 512^3 (BENCH_r02); lax.map over blocks mirrors render_pixels' chunking
-# (pathtrace.py), which exists for exactly this reason.
+# (pathtrace.py), which exists for exactly this reason. Callers must also
+# sandbox (bench.py runs this in a subprocess with a deadline: the r3
+# chip faulted on the instrumented program even chunked at 32k lanes).
 
 
 def step_statistics(renderer, mode: str | None = None, sample_index: int = 0) -> dict:
@@ -75,8 +78,12 @@ def step_statistics(renderer, mode: str | None = None, sample_index: int = 0) ->
     sample_volume, transmittance = modes.MODE_FUNCTIONS[mode]
     light = jnp.asarray(r.settings.light_dir, jnp.float32)
 
+    # operands MUST be jit arguments, not closure constants: baked-in
+    # constants embed the whole dense field in the program, which blew the
+    # remote-compile request past its length limit (HTTP 413) and caused
+    # the r2/r3 instrumented-compile pathologies at 512^3
     @jax.jit
-    def run():
+    def run(grid, params, lut, inv_view, inv_proj, light, pixel_index, active_all):
         def one_block(args):
             pixel_index, active = args
             state = seed_rays(pixel_index, jnp.uint32(sample_index))
@@ -110,7 +117,12 @@ def step_statistics(renderer, mode: str | None = None, sample_index: int = 0) ->
         )
         return s_steps.reshape(-1), hit.reshape(-1), t_steps.reshape(-1)
 
-    s_steps, hit, t_steps = (np.asarray(x)[:n] for x in run())
+    s_steps, hit, t_steps = (
+        np.asarray(x)[:n]
+        for x in run(
+            grid, params, lut, inv_view, inv_proj, light, pixel_index, active_all
+        )
+    )
 
     s_cap = (
         modes.DDA_SAMPLE_MAX_STEPS if mode == "default" else modes.TRACKING_MAX_EVENTS
