@@ -274,3 +274,29 @@ def test_page_has_round3_widgets(server):
         "/transfer", "light_drag", "/settings_import", "/benchmark",
     ):
         assert needle in page, needle
+
+
+def test_dvr_preview_during_motion(server):
+    """Camera drags stream shear-warp DVR previews, then progressive MC
+    resumes when the interaction stops."""
+    assert server.dvr_preview
+    with server._png_cond:
+        v0 = server._png_version
+    _post(server, "/input", {"type": "rotate", "by": [0.05, 0.02]})
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if server._motion_until > time.time() or server._png_version > v0:
+            break
+        time.sleep(0.05)
+    # a frame was produced during/after motion without errors
+    _wait_for_frame(server)
+    deadline = time.time() + 30
+    while time.time() < deadline:  # MC accumulation resumes after motion
+        if (
+            time.time() > server._motion_until
+            and server.renderer.frame_index > 0
+        ):
+            break
+        time.sleep(0.05)
+    assert server.renderer.frame_index > 0
+    assert server.last_error is None or "dvr" not in server.last_error

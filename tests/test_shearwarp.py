@@ -173,3 +173,56 @@ def test_shear_collinear_voxels_align(d):
         f"collinear voxels split across the intermediate image "
         f"(rows {sorted(set(ys))}, cols {sorted(set(xs))}) for view {d}"
     )
+
+
+def test_screen_warp_aligns_with_camera():
+    """The warp half of shear-warp: the screen-space preview must place
+    the volume where the ray tracer sees it. Compare the footprint of the
+    warped DVR against debug_hits (deterministic ray-box footprint)."""
+    from volxel_tpu import Renderer
+    from volxel_tpu.grid import construct_brick_grid
+    from volxel_tpu.utils.fixtures import synthetic_ct_volume
+
+    vol = synthetic_ct_volume((24, 24, 24), bits_stored=12)
+    r = Renderer(width=48, height=48)
+    r.restart_from_grid(
+        construct_brick_grid(
+            vol.astype(np.float32) / vol.max(),
+            transform=np.eye(4, dtype=np.float32),
+        )
+    )
+    r.camera.rotate_around_view(0.5, 0.3)
+    r.camera.zoom(2.0)
+
+    preview = r.render_dvr(use_pallas=False, screen=True)
+    assert preview.shape == (48, 48, 3)
+    assert np.isfinite(preview).all()
+
+    # analytic reference: project the DATA region's corners (the volume
+    # occupies [0, 24)^3 of the mip-padded 64^3 index box) to pixels
+    ct = r.volume.combined_transform().astype(np.float64)
+    view = r.camera.view_matrix().astype(np.float64)
+    proj = r.camera.proj_matrix(1.0).astype(np.float64)
+    pxs, pys = [], []
+    for cx in (0, 24):
+        for cy in (0, 24):
+            for cz in (0, 24):
+                w = ct @ np.array([cx, cy, cz, 1.0])
+                c = proj @ view @ w
+                nd = c[:2] / c[3]
+                pxs.append((nd[0] + 1) / 2 * 48)
+                pys.append((1 - (nd[1] + 1) / 2) * 48)
+    x0, x1 = min(pxs) - 1.5, max(pxs) + 1.5
+    y0, y1 = min(pys) - 1.5, max(pys) + 1.5
+
+    pre_mask = np.abs(preview - preview[0, 0]).max(axis=-1) > 0.02
+    ys, xs = np.nonzero(pre_mask)
+    assert ys.size > 10, "preview rendered no content"
+    inside = (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+    assert inside.mean() > 0.95, (
+        f"warped content leaks outside the projected data bbox "
+        f"({inside.mean():.0%} inside [{x0:.0f},{x1:.0f}]x[{y0:.0f},{y1:.0f}], "
+        f"content bbox x {xs.min()}..{xs.max()} y {ys.min()}..{ys.max()})"
+    )
+    # and it fills a sensible fraction of that bbox (not a stray dot)
+    assert ys.size > 0.15 * (x1 - x0) * (y1 - y0), "content too small"

@@ -282,25 +282,31 @@ class Renderer:
             sample_range=jnp.asarray(self.settings.sample_range, jnp.float32),
         )
 
-    def render_dvr(self, use_pallas: bool | None = None) -> np.ndarray:
+    def render_dvr(
+        self, use_pallas: bool | None = None, screen: bool = False
+    ) -> np.ndarray:
         """Deterministic shear-warp DVR preview of the current view.
 
         Extension beyond the reference: a single-pass absorption-emission
         render (render/shearwarp.py — the Pallas fast path) for instant
-        previews while the Monte-Carlo modes converge. Returns a tonemapped
-        (Hi, Wi, 3) image in intermediate (sheared) space.
+        previews while the Monte-Carlo modes converge. With screen=False
+        returns the tonemapped intermediate (sheared-space) image; with
+        screen=True applies the warp half of shear-warp and returns a
+        (height, width, 3) image aligned with the camera (row 0 = top) —
+        what the interactive server streams during drags.
         """
         if self._device_grid is None or self._device_grid.dense is None:
             raise RuntimeError("DVR preview needs a loaded dense volume")
         from volxel_tpu.render.pathtrace import tonemap
         from volxel_tpu.render.shearwarp import render_dvr as _dvr
+        from volxel_tpu.render.shearwarp import warp_to_screen
 
         # view direction in index space: the camera forward axis
         forward = self.camera.view - self.camera.pos
         m = np.linalg.inv(self.volume.combined_transform().astype(np.float64))
         d_index = m[:3, :3] @ forward
         scale = float(self.density_scale * self.settings.density_multiplier)
-        c, _t = _dvr(
+        c, t = _dvr(
             self._device_grid.dense,
             self._lut,
             d_index,
@@ -308,6 +314,35 @@ class Renderer:
             density_scale=scale,
             use_pallas=use_pallas,
         )
+        if screen:
+            w, h = self._render_dims()
+            # occupied-region center (voxels) from the brick ranges: keeps
+            # the warp's reference plane on the data when mip alignment
+            # pads the index box far past it
+            occ = np.asarray(self.grid.range_hi) > 0
+            if occ.any():
+                zs, ys, xs = np.nonzero(occ)
+                mid = np.array(
+                    [
+                        (zs.min() + zs.max() + 1) * 4.0,  # brick -> voxel mid
+                        (ys.min() + ys.max() + 1) * 4.0,
+                        (xs.min() + xs.max() + 1) * 4.0,
+                    ]
+                )
+            else:
+                mid = None
+            c = warp_to_screen(
+                c,
+                t,
+                d_index,
+                tuple(int(v) for v in self._device_grid.dense.shape),
+                self.volume.combined_transform().astype(np.float64),
+                self.camera.view_matrix().astype(np.float64),
+                self.camera.proj_matrix(w / h).astype(np.float64),
+                w,
+                h,
+                occupied_mid=mid,
+            )
         img = tonemap(
             c,
             jnp.float32(self.settings.exposure),

@@ -311,6 +311,11 @@ class PreviewServer:
         self._light = None  # LightDirectionCube, created on first drag
         self.last_error: str | None = None  # surfaced at /state
         self._benchmark: dict | None = None  # {"samples": N, ...} job/result
+        # while camera commands stream in, serve shear-warp DVR previews
+        # (the Pallas fast path) instead of 1-sample MC noise; progressive
+        # accumulation resumes when the interaction stops
+        self.dvr_preview = True
+        self._motion_until = 0.0
 
     # -- render thread ---------------------------------------------------------
 
@@ -319,6 +324,8 @@ class PreviewServer:
         (accumulation must restart — viewer.ts:443-464)."""
         r = self.renderer
         t = cmd.get("type")
+        if t in ("rotate", "pan", "zoom"):
+            self._motion_until = time.time() + 0.3
         if t == "rotate":
             bx, by = cmd["by"]
             r.camera.rotate_around_view(float(bx), float(by))
@@ -396,10 +403,11 @@ class PreviewServer:
             return True
         raise ValueError(f"unknown input command {t!r}")
 
-    def _encode_frame(self) -> None:
+    def _encode_frame(self, img: np.ndarray | None = None) -> None:
         from PIL import Image
 
-        img = self.renderer.image(show_clipping=True)
+        if img is None:
+            img = self.renderer.image(show_clipping=True)
         buf = io.BytesIO()
         Image.fromarray(
             (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8), "RGB"
@@ -408,6 +416,23 @@ class PreviewServer:
             self._png = buf.getvalue()
             self._png_version += 1
             self._png_cond.notify_all()
+
+    def _maybe_dvr_preview(self) -> bool:
+        """During camera interaction, stream a deterministic shear-warp
+        preview (Pallas fast path) instead of 1-sample MC noise. Returns
+        True when a preview frame was served this tick."""
+        r = self.renderer
+        if not self.dvr_preview or time.time() >= self._motion_until:
+            return False
+        if r._device_grid is None or r._device_grid.dense is None:
+            return False
+        try:
+            self._encode_frame(r.render_dvr(screen=True))
+            return True
+        except Exception as e:  # noqa: BLE001 — preview is best-effort
+            self.last_error = f"dvr preview error: {e}"
+            self._motion_until = 0.0  # stop retrying this interaction
+            return False
 
     def _render_loop(self) -> None:
         r = self.renderer
@@ -426,6 +451,8 @@ class PreviewServer:
                 pass
             if changed:
                 r.restart_rendering()
+            if self._maybe_dvr_preview():
+                continue
             bench = self._benchmark
             if r.frame_index * getattr(r, "sp", 1) < r.settings.max_samples or (
                 bench and bench["running"]

@@ -364,3 +364,140 @@ def render_dvr(
 def _interpret_pallas(fn, *args):
     with pltpu.force_tpu_interpret_mode():
         return fn(*args)
+
+
+# ---------------------------------------------------------------------------
+# the "warp" half: intermediate image -> screen (Lacroute-Levoy step 2)
+# ---------------------------------------------------------------------------
+
+
+def _homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """3x3 projective transform mapping 4 src (x, y) points onto dst."""
+    a = []
+    b = []
+    for (x, y), (u, v) in zip(src, dst):
+        a.append([x, y, 1, 0, 0, 0, -u * x, -u * y])
+        b.append(u)
+        a.append([0, 0, 0, x, y, 1, -v * x, -v * y])
+        b.append(v)
+    h = np.linalg.solve(np.asarray(a, np.float64), np.asarray(b, np.float64))
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+def warp_to_screen(
+    c_img,
+    t_img,
+    view_dir,
+    vol_shape,
+    combined_transform: np.ndarray,
+    view: np.ndarray,
+    proj: np.ndarray,
+    width: int,
+    height: int,
+    background=None,
+    occupied_mid: np.ndarray | None = None,
+):
+    """Resample the intermediate (sheared-space) image to screen pixels.
+
+    The intermediate plane at the volume's mid slice zm maps projectively
+    onto the screen; the 3x3 homography is solved from its 4 corners
+    pushed through index -> world -> clip. Points off the base plane pick
+    up the classic shear-warp parallax approximation — exactly the
+    trade the original factorization makes for interactivity.
+
+    Returns (height, width, 3) float32, row 0 = image top, composited
+    over `background` (scalar/rgb, default dark grey) using the
+    intermediate transmittance.
+    """
+    c_img = jnp.asarray(c_img)
+    t_img = jnp.asarray(t_img)
+    out_h, out_w = int(t_img.shape[0]), int(t_img.shape[1])
+    perm, flip, sx, sy = shear_parameters(view_dir)
+    dims = np.array(vol_shape, np.int64)  # (Z, Y, X) of the ORIGINAL field
+    pdims = dims[list(perm)]  # permuted (z', rows, cols)
+    z_n = int(pdims[0])
+    ty = max(0.0, -sy * (z_n - 1))
+    tx = max(0.0, -sx * (z_n - 1))
+    # reference plane for the homography: the OCCUPIED region's center
+    # along the principal axis, not the padded box's — mip-alignment can
+    # pad small volumes massively, and a perspective camera makes plane
+    # choice = parallax placement (occupied_mid is (Z, Y, X) voxel coords)
+    if occupied_mid is not None:
+        mid_p = np.asarray(occupied_mid, np.float64)[list(perm)]
+        zm = float(mid_p[0])
+        if flip:
+            zm = (z_n - 1) - zm
+    else:
+        zm = 0.5 * (z_n - 1)
+
+    # intermediate corners -> permuted voxel coords on the zm plane
+    corners_rc = np.array(
+        [[0, 0], [0, out_w - 1], [out_h - 1, 0], [out_h - 1, out_w - 1]],
+        np.float64,
+    )
+    y_p = corners_rc[:, 0] - (sy * zm + ty)
+    x_p = corners_rc[:, 1] - (sx * zm + tx)
+    zp = np.full(4, zm)
+    if flip:
+        zp = (z_n - 1) - zp
+    # permuted (z', row, col) -> original (Z, Y, X) index
+    pcoords = np.stack([zp, y_p, x_p], axis=1)
+    idx_zyx = np.empty((4, 3), np.float64)
+    for i, axis in enumerate(perm):
+        idx_zyx[:, axis] = pcoords[:, i]
+    # original index (x, y, z) -> world -> clip -> pixel
+    idx_xyz1 = np.stack(
+        [idx_zyx[:, 2], idx_zyx[:, 1], idx_zyx[:, 0], np.ones(4)], axis=1
+    )
+    world = (combined_transform.astype(np.float64) @ idx_xyz1.T).T
+    clip = (proj.astype(np.float64) @ view.astype(np.float64) @ world.T).T
+    ndc = clip[:, :2] / clip[:, 3:4]
+    px = (ndc[:, 0] + 1.0) * 0.5 * width
+    py = (1.0 - (ndc[:, 1] + 1.0) * 0.5) * height  # row 0 = top
+
+    h_mat = _homography(
+        np.stack([px, py], axis=1), corners_rc[:, ::-1].astype(np.float64)
+    )  # screen pixel -> intermediate (c, r)
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(width, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    hm = jnp.asarray(h_mat, jnp.float32)
+    denom = hm[2, 0] * xs + hm[2, 1] * ys + hm[2, 2]
+    src_c = (hm[0, 0] * xs + hm[0, 1] * ys + hm[0, 2]) / denom
+    src_r = (hm[1, 0] * xs + hm[1, 1] * ys + hm[1, 2]) / denom
+
+    r0 = jnp.floor(src_r)
+    c0 = jnp.floor(src_c)
+    fr = src_r - r0
+    fc = src_c - c0
+    inside = (
+        (src_r >= 0) & (src_r <= out_h - 1) & (src_c >= 0) & (src_c <= out_w - 1)
+    )
+    r0i = jnp.clip(r0.astype(jnp.int32), 0, out_h - 1)
+    c0i = jnp.clip(c0.astype(jnp.int32), 0, out_w - 1)
+    r1i = jnp.clip(r0i + 1, 0, out_h - 1)
+    c1i = jnp.clip(c0i + 1, 0, out_w - 1)
+
+    def bil(img):
+        t00 = img[r0i, c0i]
+        t01 = img[r0i, c1i]
+        t10 = img[r1i, c0i]
+        t11 = img[r1i, c1i]
+        fr_ = fr[..., None] if img.ndim == 3 else fr
+        fc_ = fc[..., None] if img.ndim == 3 else fc
+        top = t00 * (1 - fc_) + t01 * fc_
+        bot = t10 * (1 - fc_) + t11 * fc_
+        return top * (1 - fr_) + bot * fr_
+
+    color = bil(c_img)
+    trans = bil(t_img)
+    color = jnp.where(inside[..., None], color, 0.0)
+    trans = jnp.where(inside, trans, 1.0)
+    bg = jnp.asarray(
+        background if background is not None else [0.04, 0.04, 0.05],
+        jnp.float32,
+    )
+    return (color + trans[..., None] * bg).astype(jnp.float32)
