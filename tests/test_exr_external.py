@@ -65,3 +65,32 @@ def test_pxr24_float_truncation():
     rel = np.abs(out - vals) / np.abs(vals)
     assert rel.max() < 2.0 ** -15
     np.testing.assert_array_equal(out.view(np.uint32), bits << 8)
+
+
+def test_b44_lowdelta_lossless():
+    """B44 with shift=0 blocks (all chain deltas < 32 in transform space)
+    is bit-lossless; this pins the whole unpack path exactly."""
+    src = np.load(FIXTURES / "b44_lowdelta_src.npy").astype(np.float32)
+    out = decode_exr((FIXTURES / "openexr_b44_lowdelta.exr").read_bytes())
+    np.testing.assert_array_equal(out, src)
+
+
+@pytest.mark.parametrize("name", ["openexr_b44.exr", "openexr_b44a.exr"])
+def test_b44_decodes_within_quantization(name):
+    """General content: B44's 6-bit quantization bounds the error by the
+    per-block dynamic range; assert a conservative global bound."""
+    import sys
+
+    out = decode_exr((FIXTURES / name).read_bytes())
+    expected = pattern(45, 70).astype(np.float32)
+    assert out.shape == expected.shape
+    err = np.abs(out - expected)
+    # alpha plane is constant 1.0 -> flat blocks -> exact
+    np.testing.assert_array_equal(out[..., 3], expected[..., 3])
+    scale = np.maximum(np.abs(expected), 0.05)
+    # high-contrast blocks legitimately lose ~range/64 per chain step,
+    # accumulating a few quanta along the 4-6 step chains
+    assert (err[..., :3] / scale[..., :3]).max() < 0.2, (
+        f"{name}: max rel err {(err[..., :3] / scale[..., :3]).max():.3f}"
+    )
+    assert np.median(err[..., :3]) < 2e-3

@@ -5,8 +5,9 @@ reference delegates this to the Rust `image` crate, hdr.rs:23-36):
 single-part SCANLINE and TILED (one-level or mipmap level 0) images,
 HALF/FLOAT/UINT channels, compression NONE, ZIPS (1 line/chunk), ZIP
 (16 lines/chunk), PIZ (32 lines/chunk — the single most common wild HDRI
-compression; codec in ingest/piz.py) and PXR24 (zlib + 24-bit float
-truncation; lossless for HALF channels). B44/DWA files raise
+compression; codec in ingest/piz.py), PXR24 (zlib + 24-bit float
+truncation; lossless for HALF channels) and B44/B44A (4x4 half blocks;
+layout established against canonical-encoder fixtures). DWA files raise
 EnvDecodeError. External-implementation fixtures written by the canonical
 OpenEXR library live in tests/fixtures/ (tests/test_exr_external.py).
 
@@ -109,6 +110,103 @@ def _unpxr24(payload: bytes, channels, width: int, rows: int) -> bytes:
     return bytes(out)
 
 
+def _unb44(payload: bytes, channels, width: int, rows: int) -> bytes:
+    """B44 / B44A chunk decode.
+
+    Layout (established empirically against files written by the canonical
+    OpenEXR 3.1 encoder — tests/test_exr_external.py): channel-major in
+    header order; HALF channels as 4x4 blocks row-major, each either
+    14 bytes or (B44A) 3 bytes [t_hi, t_lo, 0xfc] for a flat block.
+    14-byte block: t00 = (b0<<8)|b1 is pixel (0,0) after the monotonic
+    transform (inf/nan -> 0x8000, negative -> ~s, else s|0x8000);
+    shift = b2 >> 2; fifteen 6-bit fields f1..f15 follow, each decoding to
+    (f << shift) - (0x20 << shift); f1..f3 chain DOWN column 0 and f4+y /
+    f8+y / f12+y chain ACROSS to columns 1..3 of row y. Non-HALF channels
+    are stored verbatim.
+    """
+    mv = np.frombuffer(payload, np.uint8)
+    nbx = -(-width // 4)
+    nby = -(-rows // 4)
+    p = 0
+    planes: list[tuple[str, int, np.ndarray]] = []
+    for name, ptype in channels:
+        if ptype != 1:  # FLOAT/UINT stored verbatim
+            nbytes = rows * width * _PIXEL_SIZES[ptype]
+            planes.append((name, ptype, mv[p : p + nbytes]))
+            p += nbytes
+            continue
+        # pass 1: scan block offsets (3- vs 14-byte, sequential sizes)
+        offs14, offs3, order = [], [], []
+        for _ in range(nby * nbx):
+            if p + 3 > len(mv):
+                raise EnvDecodeError("B44 chunk truncated")
+            if mv[p + 2] == 0xFC:
+                order.append((True, len(offs3)))
+                offs3.append(p)
+                p += 3
+            else:
+                order.append((False, len(offs14)))
+                offs14.append(p)
+                p += 14
+        # pass 2: vectorized unpack
+        out_blocks = np.empty((nby * nbx, 4, 4), np.uint16)
+        if offs3:
+            b = mv[np.asarray(offs3)[:, None] + np.arange(2)].astype(np.uint16)
+            t = (b[:, 0] << 8) | b[:, 1]
+            flat = np.broadcast_to(t[:, None, None], (len(offs3), 4, 4))
+        if offs14:
+            b = mv[np.asarray(offs14)[:, None] + np.arange(14)].astype(
+                np.uint32
+            )
+            t = np.empty((len(offs14), 16), np.uint32)
+            t[:, 0] = (b[:, 0] << 8) | b[:, 1]
+            shift = b[:, 2] >> 2
+            bias = np.uint32(0x20) << shift
+            f = np.empty((len(offs14), 15), np.uint32)
+            f[:, 0] = ((b[:, 2] << 4) | (b[:, 3] >> 4)) & 0x3F
+            f[:, 1] = ((b[:, 3] << 2) | (b[:, 4] >> 6)) & 0x3F
+            f[:, 2] = b[:, 4] & 0x3F
+            for col in range(3):
+                base = 3 + col * 4
+                i0 = 5 + col * 3
+                f[:, base + 0] = b[:, i0] >> 2
+                f[:, base + 1] = ((b[:, i0] << 4) | (b[:, i0 + 1] >> 4)) & 0x3F
+                f[:, base + 2] = ((b[:, i0 + 1] << 2) | (b[:, i0 + 2] >> 6)) & 0x3F
+                f[:, base + 3] = b[:, i0 + 2] & 0x3F
+            d = (f << shift[:, None]) - bias[:, None]
+            # column 0 chains down; columns 1..3 chain across per row
+            for y in (1, 2, 3):
+                t[:, y * 4] = t[:, (y - 1) * 4] + d[:, y - 1]
+            for x in (1, 2, 3):
+                for y in range(4):
+                    t[:, y * 4 + x] = t[:, y * 4 + x - 1] + d[:, 4 * x + y - 1]
+            packed = (t & 0xFFFF).astype(np.uint16).reshape(-1, 4, 4)
+        for bi, (is_flat, k) in enumerate(order):
+            out_blocks[bi] = flat[k] if is_flat else packed[k]
+        # monotonic transform inverse
+        tt = out_blocks
+        s = np.where(tt & 0x8000, tt & 0x7FFF, ~tt & 0xFFFF).astype(np.uint16)
+        # blocks -> (padded rows, padded cols) plane -> clip
+        plane = (
+            s.reshape(nby, nbx, 4, 4)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 4, nbx * 4)[:rows, :width]
+        )
+        planes.append((name, ptype, plane.astype("<u2").view(np.uint8)))
+    # interleave into the chunk layout scatter() expects: per row, channels
+    # in header order
+    out = bytearray()
+    for r in range(rows):
+        for name, ptype, data in planes:
+            nbytes = width * _PIXEL_SIZES[ptype]
+            out += bytes(
+                data.reshape(rows, nbytes)[r]
+                if ptype == 1
+                else data[r * nbytes : (r + 1) * nbytes]
+            )
+    return bytes(out)
+
+
 def _make_decomp(compression: int, channels):
     """-> (lines_per_chunk, decomp(payload, expected, width, rows))."""
     if compression == 0:
@@ -141,9 +239,17 @@ def _make_decomp(compression: int, channels):
             return _unpxr24(b, channels, width, rows)
 
         return 16, _pxr
+    if compression in (6, 7):  # B44 / B44A
+
+        def _b44(b, expected, width, rows):
+            if len(b) == expected:
+                return b
+            return _unb44(b, channels, width, rows)
+
+        return 32, _b44
     raise EnvDecodeError(
         f"EXR compression {compression} not supported "
-        "(NONE/ZIPS/ZIP/PIZ/PXR24 only)"
+        "(NONE/ZIPS/ZIP/PIZ/PXR24/B44/B44A only)"
     )
 
 

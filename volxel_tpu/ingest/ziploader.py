@@ -34,7 +34,17 @@ def _read_entry(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
     in this environment and keep zipfile's NotImplementedError.
     """
     if info.compress_type != ZIP_METHOD_ZSTD:
-        return zf.read(info)
+        try:
+            return zf.read(info)
+        except NotImplementedError as e:
+            name = {9: "Deflate64", 98: "PPMd"}.get(
+                info.compress_type, f"method {info.compress_type}"
+            )
+            raise ZipIngestError(
+                f"ZIP entry {info.filename!r} uses {name}, which has no "
+                "decoder in this environment (supported: stored, deflate, "
+                "bzip2, lzma, zstd)"
+            ) from e
     import struct
 
     import zstandard
