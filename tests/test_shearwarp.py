@@ -226,3 +226,39 @@ def test_screen_warp_aligns_with_camera():
     )
     # and it fills a sensible fraction of that bbox (not a stray dot)
     assert ys.size > 0.15 * (x1 - x0) * (y1 - y0), "content too small"
+
+
+def test_render_preview_matches_render_dvr_screen():
+    """The fixed-canvas cached preview pipeline must agree with the
+    (retraced-per-view) render_dvr screen path, and must not recompile
+    across camera angles (same jit signature)."""
+    from volxel_tpu import Renderer
+    from volxel_tpu.grid import construct_brick_grid
+    from volxel_tpu.utils.fixtures import synthetic_ct_volume
+
+    vol = synthetic_ct_volume((24, 24, 24), bits_stored=12)
+    r = Renderer(width=40, height=40)
+    r.restart_from_grid(
+        construct_brick_grid(
+            vol.astype(np.float32) / vol.max(),
+            transform=np.eye(4, dtype=np.float32),
+        )
+    )
+    r.camera.zoom(2.0)
+    from volxel_tpu.render.pathtrace import tonemap
+
+    for angle in ((0.5, 0.3), (0.2, -0.1), (1.4, 0.6)):
+        r.camera.rotate_around_view(*angle)
+        fast = r.render_preview(use_pallas=False)
+        slow = tonemap(
+            jnp.asarray(r.render_dvr(use_pallas=False, screen=True)),
+            jnp.float32(1.0), jnp.float32(1.0),
+        )  # render_dvr already tonemapped; compare shapes + correlation
+        assert fast.shape == (40, 40, 3)
+        assert np.isfinite(fast).all()
+        slow_img = r.render_dvr(use_pallas=False, screen=True)
+        # same content placement: high correlation between the two paths
+        a = fast.ravel() - fast.mean()
+        b = slow_img.ravel() - slow_img.mean()
+        corr = float((a @ b) / np.sqrt((a @ a) * (b @ b) + 1e-12))
+        assert corr > 0.98, f"angle {angle}: corr {corr:.3f}"

@@ -350,6 +350,82 @@ class Renderer:
         )
         return np.asarray(jnp.clip(img, 0.0, 1.0))
 
+    def render_preview(self, use_pallas: bool | None = None) -> np.ndarray:
+        """Interactive shear-warp preview: camera-aligned, tonemapped,
+        (height, width, 3), row 0 = top.
+
+        Unlike render_dvr this path NEVER recompiles per camera angle:
+        the intermediate canvas is fixed at worst-case shear and the
+        shear/homography parameters are traced, so at most 6 permutation
+        variants compile, then every drag tick is a cached dispatch. The
+        permuted volume is cached per principal axis.
+        """
+        if self._device_grid is None or self._device_grid.dense is None:
+            raise RuntimeError("preview needs a loaded dense volume")
+        import jax
+
+        from volxel_tpu.render.shearwarp import _preview_jit, preview_homography
+
+        w, h = self._render_dims()
+        forward = self.camera.view - self.camera.pos
+        minv = np.linalg.inv(self.volume.combined_transform().astype(np.float64))
+        d_index = minv[:3, :3] @ forward
+
+        occ = np.asarray(self.grid.range_hi) > 0
+        if occ.any():
+            zs, ys, xs = np.nonzero(occ)
+            mid = np.array(
+                [
+                    (zs.min() + zs.max() + 1) * 4.0,
+                    (ys.min() + ys.max() + 1) * 4.0,
+                    (xs.min() + xs.max() + 1) * 4.0,
+                ]
+            )
+        else:
+            mid = None
+        perm, flip, sx, sy, h_mat = preview_homography(
+            d_index,
+            tuple(int(v) for v in self._device_grid.dense.shape),
+            self.volume.combined_transform().astype(np.float64),
+            self.camera.view_matrix().astype(np.float64),
+            self.camera.proj_matrix(w / h).astype(np.float64),
+            w,
+            h,
+            occupied_mid=mid,
+        )
+        cache = getattr(self, "_preview_vol_cache", None)
+        if cache is None or cache[0] is not self._device_grid.dense:
+            cache = (self._device_grid.dense, {})
+            self._preview_vol_cache = cache
+        key = (perm, flip)
+        if key not in cache[1]:
+            vol = jnp.transpose(self._device_grid.dense, perm)
+            if flip:
+                vol = vol[::-1]
+            cache[1][key] = jax.device_put(vol)
+        vol = cache[1][key]
+
+        scale = float(self.density_scale * self.settings.density_multiplier)
+        sigma_dt = scale * float(np.sqrt(1.0 + sx * sx + sy * sy))
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        img = _preview_jit(
+            vol,
+            self._lut,
+            jnp.float32(sx),
+            jnp.float32(sy),
+            jnp.float32(1.0),
+            jnp.float32(sigma_dt),
+            jnp.asarray(h_mat),
+            jnp.asarray([0.04, 0.04, 0.05], jnp.float32),
+            jnp.float32(self.settings.exposure),
+            jnp.float32(self.settings.gamma),
+            width=w,
+            height=h,
+            use_pallas=bool(use_pallas),
+        )
+        return np.asarray(img)
+
     def maybe_sync_light(self) -> None:
         """Backlight mode (viewer.ts:789-795): when syncLightDir is on,
         the light points from the camera toward the look-at target."""

@@ -427,7 +427,7 @@ class PreviewServer:
         if r._device_grid is None or r._device_grid.dense is None:
             return False
         try:
-            self._encode_frame(r.render_dvr(screen=True))
+            self._encode_frame(r.render_preview())
             return True
         except Exception as e:  # noqa: BLE001 — preview is best-effort
             self.last_error = f"dvr preview error: {e}"

@@ -367,6 +367,210 @@ def _interpret_pallas(fn, *args):
 
 
 # ---------------------------------------------------------------------------
+# fixed-shape interactive preview pipeline (one compile per principal axis)
+# ---------------------------------------------------------------------------
+#
+# The ad-hoc render_dvr path recompiles per camera angle because the
+# intermediate image's shape depends on the shear magnitudes. For the
+# interactive server that is unusable (seconds of compile per drag tick on
+# the tunnel), so the preview pipeline fixes the canvas at the worst-case
+# shear (|s| <= 1 always, principal-axis dominance) and passes sx/sy/tx/ty
+# as TRACED scalars: at most 6 specializations (3 principal axes x flip)
+# ever compile, then every camera angle reuses them.
+
+
+def _shearwarp_intermediate_xla_dyn(vol, lut, sx, sy, inv_maj, sigma_dt):
+    """Fixed-canvas XLA scan: sx/sy are traced scalars."""
+    z_n, y_n, x_n = vol.shape
+    out_h = y_n + z_n  # >= y_n + ceil(|sy|*(z_n-1)) + 1 for |sy| <= 1
+    out_w = x_n + z_n
+    ty = jnp.maximum(0.0, -sy * (z_n - 1))
+    tx = jnp.maximum(0.0, -sx * (z_n - 1))
+
+    def step(carry, z):
+        c_acc, t_acc = carry
+        sl = vol[z].astype(jnp.float32)
+        rgb, alpha = _classify(sl, lut, inv_maj, sigma_dt)
+        zf = z.astype(jnp.float32)
+        uy = jnp.clip(sy * zf + ty, 0.0, out_h - y_n - 1)
+        ux = jnp.clip(sx * zf + tx, 0.0, out_w - x_n - 1)
+        rgb_s = jnp.stack(
+            [_shift_bilinear(rgb[..., i], uy, ux, out_h, out_w) for i in range(3)],
+            axis=-1,
+        )
+        a_s = _shift_bilinear(alpha, uy, ux, out_h, out_w)
+        c_new, t_new = _composite_slice(c_acc, t_acc, rgb_s, a_s)
+        opaque = jnp.max(t_acc) <= 1e-4
+        c_acc = jnp.where(opaque, c_acc, c_new)
+        t_acc = jnp.where(opaque, t_acc, t_new)
+        return (c_acc, t_acc), None
+
+    c0 = jnp.zeros((out_h, out_w, 3), jnp.float32)
+    t0 = jnp.ones((out_h, out_w), jnp.float32)
+    (c_acc, t_acc), _ = jax.lax.scan(step, (c0, t0), jnp.arange(z_n))
+    return c_acc, t_acc
+
+
+def _shearwarp_intermediate_pallas_dyn(vol, lut, sx, sy, inv_maj, sigma_dt):
+    """Fixed-canvas Pallas kernel: sx/sy/tx/ty via SMEM (already dynamic)."""
+    z_n, y_n, x_n = vol.shape
+    out_h = y_n + z_n
+    out_w = x_n + z_n
+    pad_h = -(-out_h // 8) * 8
+    pad_w = -(-out_w // 128) * 128
+    ty = jnp.maximum(0.0, -sy * (z_n - 1))
+    tx = jnp.maximum(0.0, -sx * (z_n - 1))
+    params = jnp.stack(
+        [
+            jnp.float32(sx),
+            jnp.float32(sy),
+            jnp.float32(tx),
+            jnp.float32(ty),
+            jnp.float32(inv_maj),
+            jnp.float32(sigma_dt),
+        ]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(z_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, y_n, x_n), lambda z: (z, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (lut.shape[0], 4), lambda z: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (3, pad_h, pad_w), lambda z: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((pad_h, pad_w), lambda z: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, pad_h, pad_w), jnp.float32),
+            pltpu.VMEM((pad_h, pad_w), jnp.float32),
+        ],
+    )
+    c_acc, t_acc = pl.pallas_call(
+        functools.partial(_sw_kernel, out_h=out_h, out_w=out_w),
+        out_shape=[
+            jax.ShapeDtypeStruct((3, pad_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )(params, vol, lut)
+    return jnp.transpose(c_acc[:, :out_h, :out_w], (1, 2, 0)), t_acc[:out_h, :out_w]
+
+
+def _warp_apply(c_img, t_img, h_mat, width: int, height: int, bg, exposure, gamma):
+    """Inverse-homography resample + composite + tonemap (traced)."""
+    out_h, out_w = t_img.shape
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32) + 0.5,
+        jnp.arange(width, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    denom = h_mat[2, 0] * xs + h_mat[2, 1] * ys + h_mat[2, 2]
+    src_c = (h_mat[0, 0] * xs + h_mat[0, 1] * ys + h_mat[0, 2]) / denom
+    src_r = (h_mat[1, 0] * xs + h_mat[1, 1] * ys + h_mat[1, 2]) / denom
+    r0 = jnp.floor(src_r)
+    c0 = jnp.floor(src_c)
+    fr = src_r - r0
+    fc = src_c - c0
+    inside = (
+        (src_r >= 0) & (src_r <= out_h - 1) & (src_c >= 0) & (src_c <= out_w - 1)
+    )
+    r0i = jnp.clip(r0.astype(jnp.int32), 0, out_h - 1)
+    c0i = jnp.clip(c0.astype(jnp.int32), 0, out_w - 1)
+    r1i = jnp.clip(r0i + 1, 0, out_h - 1)
+    c1i = jnp.clip(c0i + 1, 0, out_w - 1)
+
+    def bil(img):
+        t00 = img[r0i, c0i]
+        t01 = img[r0i, c1i]
+        t10 = img[r1i, c0i]
+        t11 = img[r1i, c1i]
+        fr_ = fr[..., None] if img.ndim == 3 else fr
+        fc_ = fc[..., None] if img.ndim == 3 else fc
+        top = t00 * (1 - fc_) + t01 * fc_
+        bot = t10 * (1 - fc_) + t11 * fc_
+        return top * (1 - fr_) + bot * fr_
+
+    color = jnp.where(inside[..., None], bil(c_img), 0.0)
+    trans = jnp.where(inside, bil(t_img), 1.0)
+    from volxel_tpu.render.pathtrace import tonemap
+
+    img = tonemap(color + trans[..., None] * bg, exposure, gamma)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "use_pallas"))
+def _preview_jit(
+    vol, lut, sx, sy, inv_maj, sigma_dt, h_mat, bg, exposure, gamma,
+    width, height, use_pallas,
+):
+    fn = (
+        _shearwarp_intermediate_pallas_dyn
+        if use_pallas
+        else _shearwarp_intermediate_xla_dyn
+    )
+    c, t = fn(vol.astype(jnp.float32), lut, sx, sy, inv_maj, sigma_dt)
+    return _warp_apply(c, t, h_mat, width, height, bg, exposure, gamma)
+
+
+def preview_homography(
+    view_dir, vol_shape, combined_transform, view, proj,
+    width: int, height: int, occupied_mid=None,
+):
+    """Host-side per-frame math for the fixed-canvas preview: shear
+    parameters + the screen->intermediate homography. Returns
+    (perm, flip, sx, sy, h_mat) — everything _preview_jit needs."""
+    perm, flip, sx, sy = shear_parameters(view_dir)
+    dims = np.array(vol_shape, np.int64)
+    pdims = dims[list(perm)]
+    z_n, y_n, x_n = int(pdims[0]), int(pdims[1]), int(pdims[2])
+    out_h, out_w = y_n + z_n, x_n + z_n
+    ty = max(0.0, -sy * (z_n - 1))
+    tx = max(0.0, -sx * (z_n - 1))
+    if occupied_mid is not None:
+        mid_p = np.asarray(occupied_mid, np.float64)[list(perm)]
+        zm = float(mid_p[0])
+        if flip:
+            zm = (z_n - 1) - zm
+    else:
+        zm = 0.5 * (z_n - 1)
+
+    corners_rc = np.array(
+        [[0, 0], [0, out_w - 1], [out_h - 1, 0], [out_h - 1, out_w - 1]],
+        np.float64,
+    )
+    y_p = corners_rc[:, 0] - (sy * zm + ty)
+    x_p = corners_rc[:, 1] - (sx * zm + tx)
+    zp = np.full(4, zm)
+    if flip:
+        zp = (z_n - 1) - zp
+    pcoords = np.stack([zp, y_p, x_p], axis=1)
+    idx_zyx = np.empty((4, 3), np.float64)
+    for i, axis in enumerate(perm):
+        idx_zyx[:, axis] = pcoords[:, i]
+    idx_xyz1 = np.stack(
+        [idx_zyx[:, 2], idx_zyx[:, 1], idx_zyx[:, 0], np.ones(4)], axis=1
+    )
+    world = (combined_transform.astype(np.float64) @ idx_xyz1.T).T
+    clip = (proj.astype(np.float64) @ view.astype(np.float64) @ world.T).T
+    ndc = clip[:, :2] / clip[:, 3:4]
+    px = (ndc[:, 0] + 1.0) * 0.5 * width
+    py = (1.0 - (ndc[:, 1] + 1.0) * 0.5) * height
+    h_mat = _homography(
+        np.stack([px, py], axis=1), corners_rc[:, ::-1].astype(np.float64)
+    )
+    return perm, flip, sx, sy, h_mat.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # the "warp" half: intermediate image -> screen (Lacroute-Levoy step 2)
 # ---------------------------------------------------------------------------
 
