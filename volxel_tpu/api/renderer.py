@@ -350,7 +350,9 @@ class Renderer:
         )
         return np.asarray(jnp.clip(img, 0.0, 1.0))
 
-    def render_preview(self, use_pallas: bool | None = None) -> np.ndarray:
+    def render_preview(
+        self, use_pallas: bool | None = None, scale: float = 1.0
+    ) -> np.ndarray:
         """Interactive shear-warp preview: camera-aligned, tonemapped,
         (height, width, 3), row 0 = top.
 
@@ -367,6 +369,8 @@ class Renderer:
         from volxel_tpu.render.shearwarp import _preview_jit, preview_homography
 
         w, h = self._render_dims()
+        if scale != 1.0:
+            w, h = max(1, round(w * scale)), max(1, round(h * scale))
         forward = self.camera.view - self.camera.pos
         minv = np.linalg.inv(self.volume.combined_transform().astype(np.float64))
         d_index = minv[:3, :3] @ forward

@@ -315,6 +315,7 @@ class PreviewServer:
         # (the Pallas fast path) instead of 1-sample MC noise; progressive
         # accumulation resumes when the interaction stops
         self.dvr_preview = True
+        self.preview_scale = 0.5  # drag previews at half res (latency)
         self._motion_until = 0.0
 
     # -- render thread ---------------------------------------------------------
@@ -427,7 +428,7 @@ class PreviewServer:
         if r._device_grid is None or r._device_grid.dense is None:
             return False
         try:
-            self._encode_frame(r.render_preview())
+            self._encode_frame(r.render_preview(scale=self.preview_scale))
             return True
         except Exception as e:  # noqa: BLE001 — preview is best-effort
             self.last_error = f"dvr preview error: {e}"
