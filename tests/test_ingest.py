@@ -242,3 +242,117 @@ def test_zip_zstd_entries():
 
     grid = read_zip_to_grid(archive)
     assert grid.index_extent[2] >= 8
+
+
+def test_deflate64_decodes_zlib_streams():
+    """zlib streams that avoid length code 285 are valid deflate64 (the
+    code was REDEFINED by PKWARE; everything else is shared), so noisy
+    data — max match far below 258 — gives an external-encoder check of
+    every other code path (fixed + dynamic trees, stored blocks)."""
+    import zlib
+
+    from volxel_tpu.ingest.deflate64 import inflate64
+
+    rng = np.random.default_rng(3)
+    base = np.tile(rng.integers(0, 90, 139, dtype=np.uint8), 700)
+    noise = (rng.random(base.size) < 0.2) * rng.integers(
+        1, 255, base.size, dtype=np.uint8
+    )
+    data = (base ^ noise).tobytes()  # matches stay short: no code 285
+    for level in (1, 6, 9):
+        comp = zlib.compressobj(level, zlib.DEFLATED, -15)
+        blob = comp.compress(data) + comp.flush()
+        assert inflate64(blob, len(data)) == data
+    comp = zlib.compressobj(0, zlib.DEFLATED, -15)  # stored blocks
+    blob = comp.compress(data) + comp.flush()
+    assert inflate64(blob, len(data)) == data
+
+
+def test_deflate64_extended_codes():
+    """Hand-assembled fixed-Huffman block using the deflate64-only codes:
+    length code 285 (base 3 + 16 extra bits) and distance code 30
+    (base 32769 + 14 extra bits) — a >32 KiB back-reference no plain
+    deflate decoder accepts."""
+    from volxel_tpu.ingest.deflate64 import inflate64
+
+    rng = np.random.default_rng(9)
+    prefix = rng.integers(0, 256, 40000, dtype=np.uint8).tobytes()
+
+    bits = []
+
+    def put_bits_lsb(value, n):  # extra-bits fields
+        for i in range(n):
+            bits.append((value >> i) & 1)
+
+    def put_code_msb(value, n):  # huffman codes
+        for i in reversed(range(n)):
+            bits.append((value >> i) & 1)
+
+    # block 1: stored (BFINAL=0, BTYPE=00), 40000 raw bytes
+    put_bits_lsb(0, 1)
+    put_bits_lsb(0, 2)
+    while len(bits) % 8:
+        bits.append(0)
+    stream = bytearray()
+    stream += bytes(int("".join(map(str, bits[i : i + 8][::-1])), 2)
+                    for i in range(0, len(bits), 8))
+    import struct
+
+    stream += struct.pack("<HH", 40000, ~40000 & 0xFFFF)
+    stream += prefix
+    # block 2: fixed huffman (BFINAL=1, BTYPE=01)
+    bits = []
+    put_bits_lsb(1, 1)
+    put_bits_lsb(1, 2)
+    length, distance = 300, 40000
+    put_code_msb(0b11000101, 8)          # litlen code 285 (280..287 -> 8 bits)
+    put_bits_lsb(length - 3, 16)         # deflate64: 16 extra bits
+    put_code_msb(30, 5)                  # distance code 30
+    put_bits_lsb(distance - 32769, 14)   # 14 extra bits
+    put_code_msb(0, 7)                   # end of block (256)
+    while len(bits) % 8:
+        bits.append(0)
+    stream += bytes(int("".join(map(str, bits[i : i + 8][::-1])), 2)
+                    for i in range(0, len(bits), 8))
+
+    out = inflate64(bytes(stream), 40000 + length)
+    assert out[:40000] == prefix
+    expected_match = (prefix * 2)[40000 - distance : 40000 - distance + length]
+    assert out[40000:] == expected_match
+
+
+def test_zip_deflate64_entries():
+    """Method-9 entries decode through the in-repo inflate64 (deflate
+    streams are valid deflate64; relabeled to exercise the zip path)."""
+    import struct
+    import zlib
+
+    from volxel_tpu.ingest.ziploader import read_zip_to_grid
+    from volxel_tpu.utils.fixtures import synthetic_ct_volume, write_dicom_series
+
+    vol = synthetic_ct_volume((8, 16, 16), bits_stored=12)
+    blobs = write_dicom_series(vol, bits_stored=12)
+    out = bytearray()
+    central = bytearray()
+    offsets = []
+    for i, blob in enumerate(blobs):
+        name = f"series/slice_{i:04d}.dcm".encode()
+        # stored blocks (level 0): guaranteed free of the redefined code 285,
+        # hence simultaneously valid deflate and deflate64
+        comp_obj = zlib.compressobj(0, zlib.DEFLATED, -15)
+        comp = comp_obj.compress(blob) + comp_obj.flush()
+        crc = zlib.crc32(blob) & 0xFFFFFFFF
+        offsets.append(len(out))
+        out += b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH", 21, 0, 9, 0, 0, crc, len(comp), len(blob),
+            len(name), 0,
+        ) + name + comp
+        central += b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII", 21, 21, 0, 9, 0, 0, crc, len(comp),
+            len(blob), len(name), 0, 0, 0, 0, 0, offsets[i],
+        ) + name
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, len(blobs), len(blobs), len(central), len(out), 0
+    )
+    grid = read_zip_to_grid(bytes(out) + bytes(central) + eocd)
+    assert grid.index_extent[2] >= 8

@@ -22,32 +22,12 @@ class ZipIngestError(DicomError):
     pass
 
 
+ZIP_METHOD_DEFLATE64 = 9
 ZIP_METHOD_ZSTD = 93  # APPNOTE 6.3.8; the reference's zip crate enables zstd
 
 
-def _read_entry(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
-    """zf.read with a zstd fallback (method 93, Cargo.toml:30 parity).
-
-    Python's zipfile knows stored/deflate/bzip2/lzma only; for zstd
-    entries the raw stream is read from the local header and inflated
-    with the zstandard module. PPMd (98) / Deflate64 (9) have no decoder
-    in this environment and keep zipfile's NotImplementedError.
-    """
-    if info.compress_type != ZIP_METHOD_ZSTD:
-        try:
-            return zf.read(info)
-        except NotImplementedError as e:
-            name = {9: "Deflate64", 98: "PPMd"}.get(
-                info.compress_type, f"method {info.compress_type}"
-            )
-            raise ZipIngestError(
-                f"ZIP entry {info.filename!r} uses {name}, which has no "
-                "decoder in this environment (supported: stored, deflate, "
-                "bzip2, lzma, zstd)"
-            ) from e
+def _raw_entry_bytes(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
     import struct
-
-    import zstandard
 
     fp = zf.fp
     fp.seek(info.header_offset)
@@ -56,13 +36,46 @@ def _read_entry(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
         raise ZipIngestError("corrupt local file header")
     name_len, extra_len = struct.unpack("<HH", header[26:30])
     fp.seek(info.header_offset + 30 + name_len + extra_len)
-    raw = fp.read(info.compress_size)
-    out = zstandard.ZstdDecompressor().decompress(
-        raw, max_output_size=info.file_size
-    )
+    return fp.read(info.compress_size)
+
+
+def _read_entry(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
+    """zf.read with zstd (93) and deflate64 (9) fallbacks — the methods
+    the reference's zip crate enables (Cargo.toml:30). Python's zipfile
+    knows stored/deflate/bzip2/lzma only; the raw stream is read from the
+    local header and inflated in-repo (ingest/deflate64.py) or via the
+    zstandard module. PPMd (98) keeps a named error.
+    """
+    if info.compress_type == ZIP_METHOD_ZSTD:
+        import zstandard
+
+        out = zstandard.ZstdDecompressor().decompress(
+            _raw_entry_bytes(zf, info), max_output_size=info.file_size
+        )
+    elif info.compress_type == ZIP_METHOD_DEFLATE64:
+        from volxel_tpu.ingest.deflate64 import Deflate64Error, inflate64
+
+        try:
+            out = inflate64(_raw_entry_bytes(zf, info), info.file_size)
+        except Deflate64Error as e:
+            raise ZipIngestError(
+                f"deflate64 entry {info.filename!r}: {e}"
+            ) from e
+    else:
+        try:
+            return zf.read(info)
+        except NotImplementedError as e:
+            name = {98: "PPMd"}.get(
+                info.compress_type, f"method {info.compress_type}"
+            )
+            raise ZipIngestError(
+                f"ZIP entry {info.filename!r} uses {name}, which has no "
+                "decoder in this environment (supported: stored, deflate, "
+                "bzip2, lzma, zstd, deflate64)"
+            ) from e
     if len(out) != info.file_size:
         raise ZipIngestError(
-            f"zstd entry {info.filename}: size mismatch "
+            f"entry {info.filename}: size mismatch "
             f"({len(out)} != {info.file_size})"
         )
     return out
