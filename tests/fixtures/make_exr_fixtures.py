@@ -110,6 +110,7 @@ def main() -> None:
     write_scanline(HERE / "openexr_pxr24.exr", img, IMF_PXR24)
     write_tiled(HERE / "openexr_tiled_zip.exr", img, IMF_ZIP)
     write_tiled(HERE / "openexr_tiled_piz.exr", img, IMF_PIZ)
+    write_tiled(HERE / "openexr_tiled_pxr24.exr", img, IMF_PXR24)
     for f in sorted(HERE.glob("openexr_*.exr")):
         print(f.name, f.stat().st_size, "bytes")
 

@@ -31,6 +31,7 @@ from make_exr_fixtures import pattern  # noqa: E402
         "openexr_pxr24.exr",
         "openexr_tiled_zip.exr",
         "openexr_tiled_piz.exr",
+        "openexr_tiled_pxr24.exr",
     ],
 )
 def test_decode_openexr_written_file(name):

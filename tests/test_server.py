@@ -300,3 +300,30 @@ def test_dvr_preview_during_motion(server):
         time.sleep(0.05)
     assert server.renderer.frame_index > 0
     assert server.last_error is None or "dvr" not in server.last_error
+
+
+def test_server_over_distributed_renderer():
+    """PreviewServer drives a DistributedRenderer on the 8-device mesh
+    (config 3: interactive orbit loop on a mesh)."""
+    from volxel_tpu.parallel.distributed import DistributedRenderer
+    from volxel_tpu.parallel.mesh import make_mesh
+
+    vol = synthetic_ct_volume((16, 16, 16), bits_stored=12)
+    r = DistributedRenderer(width=32, height=32, sp=2, px=4)
+    r.restart_from_grid(
+        construct_brick_grid(
+            vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
+        )
+    )
+    r.camera.zoom(2.0)
+    r.settings.max_samples = 10_000
+    srv = PreviewServer(r, port=0)
+    srv.start()
+    try:
+        _wait_for_frame(srv)
+        state = json.loads(_get(srv, "/state").read())
+        assert state["samples"] >= 2  # sp=2: each step advances 2 samples
+        _post(srv, "/input", {"type": "rotate", "by": [0.2, 0.1]})
+        _wait_for_frame(srv)
+    finally:
+        srv.stop()
