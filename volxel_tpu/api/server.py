@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import io
 import json
-import math
 import queue
 import threading
 import time

@@ -13,8 +13,12 @@ All functions share the signature contract:
   transmittance_*(grid, params, lut, origin, direction, state, active)
     -> (state, Tr)
 with origin/direction in world space, state the per-ray RNG state, and
-`active` masking rays that should not trace (their results are unused and
-their RNG stream still advances deterministically).
+`active` masking rays that should not trace. Draw consumption is
+REFERENCE-EXACT per lane (rng_where): inactive/box-missing lanes consume
+nothing, and within the loops each draw happens exactly where the GLSL
+performs it — collision iterations only, tau resets only on null
+collisions, RR only under the threshold. tests/test_parity_oracle.py
+pins this at the ulp level; do not add or move rng calls casually.
 
 Loop caps: the reference caps transmittanceDDA at 100 steps (dda.glsl:18)
 and leaves the others unbounded; unbounded loops don't exist on TPU, so the
@@ -30,7 +34,6 @@ import jax.numpy as jnp
 from volxel_tpu.render.rays import Rays, ray_box_intersection
 from volxel_tpu.render.rng import rng_where
 from volxel_tpu.render.sampling import (
-    DeviceGrid,
     VolumeParams,
     lookup_density_stochastic,
     lookup_density_trilinear,
