@@ -42,7 +42,9 @@ def test_exr_decoders_reject_garbage():
     rng = np.random.default_rng(0)
     fixtures = Path(__file__).parent / "fixtures"
     for name in ("openexr_piz.exr", "openexr_pxr24.exr",
-                 "openexr_b44.exr", "openexr_tiled_zip.exr"):
+                 "openexr_b44.exr", "openexr_tiled_zip.exr",
+                 "openexr_dwaa.exr", "openexr_dwab.exr",
+                 "openexr_tiled_dwaa.exr", "openexr_dwaa_ya.exr"):
         blob = (fixtures / name).read_bytes()
         for mutant in _mutations(blob, rng):
             try:

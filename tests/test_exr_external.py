@@ -3,8 +3,8 @@
 The fixtures (tests/fixtures/openexr_*.exr) were produced by the system
 libOpenEXR 3.1 via its C RGBA API (provenance + regeneration script:
 tests/fixtures/make_exr_fixtures.py). This validates the in-repo
-PIZ/PXR24/ZIP and tiled decode paths against an external implementation —
-not a self-round-trip (VERDICT r2 weak item 7).
+PIZ/PXR24/ZIP/DWA and tiled decode paths against an external
+implementation — not a self-round-trip (VERDICT r2 weak item 7).
 """
 
 from __future__ import annotations
@@ -95,3 +95,37 @@ def test_b44_decodes_within_quantization(name):
         f"{name}: max rel err {(err[..., :3] / scale[..., :3]).max():.3f}"
     )
     assert np.median(err[..., :3]) < 2e-3
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "openexr_dwaa",  # 32-line chunks, partial blocks both axes
+        "openexr_dwab",  # 256-line chunk covering the whole image
+        "openexr_tiled_dwaa",  # 16x16 tiles, partial edge tiles
+        "openexr_dwaa_ya",  # luminance: solo (non-CSC) DCT path + RLE A
+    ],
+)
+def test_dwa_matches_canonical_decoder(name):
+    """DWA is lossy, so the expectation is the canonical libOpenEXR
+    DECODE of each fixture (committed as *_expected.npy by the fixture
+    script). The in-repo decoder replicates the library's float32
+    butterfly and LUTs; residual differences come from the compiled
+    library's FMA contraction and are a few half-ULPs on <0.1% of pixels
+    (amplified by the exponential toLinear branch above 1.0)."""
+    out = decode_exr((FIXTURES / f"{name}.exr").read_bytes())
+    expected = np.load(FIXTURES / f"{name}_expected.npy").astype(np.float32)
+    assert out.shape == expected.shape
+    o16 = out.astype(np.float16).view(np.uint16).astype(np.int64)
+    e16 = expected.astype(np.float16).view(np.uint16).astype(np.int64)
+    ulp = np.abs(o16 - e16)
+    assert (ulp == 0).mean() > 0.999, f"{name}: exact frac {(ulp == 0).mean()}"
+    assert ulp.max() <= 8, f"{name}: max half-ULP distance {ulp.max()}"
+
+
+def test_dwa_ya_decodes_grayscale():
+    """The Y-only file must land in the R=G=B grayscale path."""
+    out = decode_exr((FIXTURES / "openexr_dwaa_ya.exr").read_bytes())
+    np.testing.assert_array_equal(out[..., 0], out[..., 1])
+    np.testing.assert_array_equal(out[..., 0], out[..., 2])
+    assert not np.allclose(out[..., 3], 1.0)  # varying alpha came through

@@ -107,3 +107,27 @@ def test_environment_loads_piz(rng):
     out = decode_env_bytes(data)
     assert out.shape == (32, 64, 4)
     assert np.isfinite(out).all()
+
+
+def test_huf_native_matches_python_fallback(monkeypatch):
+    """The native ImfHuf decode and the pure-Python loop must agree on
+    real streams (including long >16-bit codes and RLE runs)."""
+    import volxel_tpu.ingest.piz as piz
+    import volxel_tpu.native.loader as loader
+
+    if not loader.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    # skewed distribution -> deep Huffman tree; repeats -> RLE runs
+    vals = np.concatenate([
+        (rng.zipf(1.2, 4000) % 60000).astype(np.uint16),
+        np.repeat(rng.integers(0, 500, 40).astype(np.uint16), 77),
+    ])
+    blob = piz.huf_compress(vals)
+    native_out = piz.huf_uncompress(blob, len(vals))
+    monkeypatch.setattr(loader, "native_available", lambda: False)
+    python_out = piz.huf_uncompress(blob, len(vals))
+    np.testing.assert_array_equal(native_out, vals)
+    np.testing.assert_array_equal(python_out, vals)

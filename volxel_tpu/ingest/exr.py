@@ -6,10 +6,11 @@ single-part SCANLINE and TILED (one-level or mipmap level 0) images,
 HALF/FLOAT/UINT channels, compression NONE, ZIPS (1 line/chunk), ZIP
 (16 lines/chunk), PIZ (32 lines/chunk — the single most common wild HDRI
 compression; codec in ingest/piz.py), PXR24 (zlib + 24-bit float
-truncation; lossless for HALF channels) and B44/B44A (4x4 half blocks;
-layout established against canonical-encoder fixtures). DWA files raise
-EnvDecodeError. External-implementation fixtures written by the canonical
-OpenEXR library live in tests/fixtures/ (tests/test_exr_external.py).
+truncation; lossless for HALF channels), B44/B44A (4x4 half blocks;
+layout established against canonical-encoder fixtures) and DWAA/DWAB
+(lossy DCT; codec in ingest/dwa.py) — the full standard compression set.
+External-implementation fixtures written by the canonical OpenEXR
+library live in tests/fixtures/ (tests/test_exr_external.py).
 
 Output: (height, width, 4) float32 RGBA, row 0 = image top (dataWindow
 yMin), alpha 1 where absent — same contract as decode_hdr.
@@ -247,9 +248,21 @@ def _make_decomp(compression: int, channels):
             return _unb44(b, channels, width, rows)
 
         return 32, _b44
+    if compression in (8, 9):  # DWAA / DWAB
+        from volxel_tpu.ingest.dwa import DwaError, dwa_uncompress
+
+        def _dwa(b, expected, width, rows):
+            if len(b) == expected:
+                return b
+            try:
+                return dwa_uncompress(b, channels, width, rows)
+            except DwaError as e:
+                raise EnvDecodeError(f"DWA decode failed: {e}") from e
+
+        return 32 if compression == 8 else 256, _dwa
     raise EnvDecodeError(
         f"EXR compression {compression} not supported "
-        "(NONE/ZIPS/ZIP/PIZ/PXR24/B44/B44A only)"
+        "(NONE/ZIPS/ZIP/PIZ/PXR24/B44/B44A/DWAA/DWAB only)"
     )
 
 

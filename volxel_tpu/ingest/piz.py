@@ -382,6 +382,22 @@ def huf_uncompress(data: bytes, n_out: int) -> np.ndarray:
         return np.zeros(0, np.uint16)
     if len(data) < 20:
         raise PizError("Huffman data shorter than its header")
+
+    from volxel_tpu.native.loader import native_available
+    from volxel_tpu.native.loader import huf_uncompress as native_huf
+
+    if native_available():
+        status, out = native_huf(data, n_out)
+        if status == n_out:
+            return out
+        if status == -1:
+            raise PizError(f"truncated Huffman data: .../{n_out} symbols")
+        if status == -2:
+            raise PizError("invalid Huffman code")
+        if status == -3:
+            raise PizError("invalid RLE run in Huffman data")
+        raise PizError("corrupt Huffman header")
+
     im, iM, _table_len, n_bits, _room = struct.unpack_from("<5I", data, 0)
     if not (0 <= im < HUF_ENCSIZE and 0 <= iM < HUF_ENCSIZE):
         raise PizError("corrupt Huffman header")
@@ -396,9 +412,9 @@ def huf_uncompress(data: bytes, n_out: int) -> np.ndarray:
     raw = br.data
     bitpos = base
     end = base + n_bits
+    rlc = iM
     out = np.empty(n_out, np.uint16)
     k = 0
-    rlc = iM
     while k < n_out:
         if bitpos >= end:
             raise PizError(f"truncated Huffman data: {k}/{n_out} symbols")

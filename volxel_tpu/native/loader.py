@@ -72,6 +72,26 @@ def get_native():
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.volxel_huf_decode.restype = ctypes.c_int64
+        lib.volxel_huf_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64,
+        ]
+        lib.volxel_huf_uncompress.restype = ctypes.c_int64
+        lib.volxel_huf_uncompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64,
+        ]
         lib.volxel_fill_atlas.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             *([ctypes.c_int64] * 6),
@@ -145,6 +165,25 @@ def jpeg_lossless_chunk(
         predictor,
         default_pred,
     )
+
+
+def huf_uncompress(data: bytes, n_out: int) -> tuple[int, np.ndarray]:
+    """Native ImfHuf decode (full: table + canonical codes + symbol loop,
+    see piz.py:huf_uncompress for the format).
+
+    Returns (status, out): status is symbols decoded, or -1 truncated /
+    -2 invalid code / -3 bad RLE run / -4 corrupt header or table.
+    """
+    lib = get_native()
+    padded = np.frombuffer(data + b"\x00" * 16, np.uint8)
+    out = np.empty(n_out, np.uint16)
+    status = lib.volxel_huf_uncompress(
+        _ptr(padded, ctypes.c_uint8),
+        len(data),
+        _ptr(out, ctypes.c_uint16),
+        n_out,
+    )
+    return int(status), out
 
 
 def brick_construct(data: np.ndarray, bx: int, by: int, bz: int):

@@ -304,4 +304,189 @@ int64_t volxel_jpeg_lossless_chunk(
   return n_samples;
 }
 
+// OpenEXR ImfHuf entropy decode — the per-symbol loop of
+// piz.py:huf_uncompress. `data` is the padded entropy buffer; bits
+// [start_bit, end_bit) hold the payload. `lut` has 1<<16 entries of
+// (code_len << 32) | symbol for codes up to 16 bits; longer codes are
+// looked up in the sorted `long_keys` array (key = code_len << 58 | code)
+// with `long_syms` parallel to it. `rlc` is the run-length pseudo-symbol.
+// Returns symbols written, or -1 truncated / -2 invalid code / -3 bad run.
+int64_t volxel_huf_decode(const uint8_t* data, int64_t start_bit,
+                          int64_t end_bit, const uint64_t* lut,
+                          const uint64_t* long_keys, const uint32_t* long_syms,
+                          int64_t n_long, int64_t rlc, uint16_t* out,
+                          int64_t n_out) {
+  constexpr int kMaxCodeLen = 58;
+  int64_t bitpos = start_bit;
+  int64_t k = 0;
+  auto read_be64 = [&](int64_t byte) {
+    uint64_t w = 0;
+    for (int i = 0; i < 8; ++i) w = (w << 8) | data[byte + i];
+    return w;
+  };
+  while (k < n_out) {
+    if (bitpos >= end_bit) return -1;
+    int64_t byte = bitpos >> 3;
+    int sh = (int)(bitpos & 7);
+    uint32_t peek = (uint32_t)(((((uint32_t)data[byte] << 16) |
+                                 ((uint32_t)data[byte + 1] << 8) |
+                                 (uint32_t)data[byte + 2]) >>
+                                (8 - sh)) &
+                               0xFFFFu);
+    uint64_t v = lut[peek];
+    int64_t len = (int64_t)(v >> 32);
+    uint32_t sym;
+    if (len) {
+      sym = (uint32_t)(v & 0xFFFFFFFFu);
+      bitpos += len;
+    } else {
+      // long code (>16 bits): extend bit by bit against the sorted keys
+      uint64_t w = read_be64(byte);
+      uint64_t w2 = ((uint64_t)data[byte + 8] << 8) | data[byte + 9];
+      // top 80 bits from `byte` as one value; codes start sh bits in
+      unsigned __int128 window = ((unsigned __int128)w << 16) | w2;
+      int total = 72 - sh;  // bits available past sh within the first 9 bytes
+      bool found = false;
+      sym = 0;
+      for (int l = 17; l <= kMaxCodeLen && l <= total; ++l) {
+        uint64_t code =
+            (uint64_t)(window >> (80 - sh - l)) & ((1ull << l) - 1);
+        uint64_t key = ((uint64_t)l << kMaxCodeLen) | code;
+        const uint64_t* lo = long_keys;
+        const uint64_t* hi = long_keys + n_long;
+        const uint64_t* it = std::lower_bound(lo, hi, key);
+        if (it != hi && *it == key) {
+          sym = long_syms[it - lo];
+          bitpos += l;
+          found = true;
+          break;
+        }
+      }
+      if (!found) return -2;
+    }
+    if ((int64_t)sym == rlc) {
+      int64_t rb = bitpos >> 3;
+      int rsh = (int)(bitpos & 7);
+      uint32_t run =
+          ((((uint32_t)data[rb] << 8) | (uint32_t)data[rb + 1]) >>
+           (8 - rsh)) &
+          0xFFu;
+      bitpos += 8;
+      if (k == 0 || k + (int64_t)run > n_out) return -3;
+      uint16_t prev = out[k - 1];
+      for (uint32_t i = 0; i < run; ++i) out[k + i] = prev;
+      k += run;
+    } else {
+      out[k] = (uint16_t)sym;
+      k += 1;
+    }
+  }
+  return k;
+}
+
+// Full ImfHuf decode: header + code-length table + canonical codes +
+// decode LUT + the symbol loop above, all native (the per-chunk table
+// build in Python dominated large PIZ decodes). `data`/`data_len` is the
+// complete huf blob (20-byte header first) padded with >=16 zero bytes by
+// the caller beyond data_len. Same return convention as volxel_huf_decode,
+// plus -4 for a corrupt header/table.
+int64_t volxel_huf_uncompress(const uint8_t* data, int64_t data_len,
+                              uint16_t* out, int64_t n_out) {
+  constexpr int kEncSize = 65537;
+  constexpr int kMaxCodeLen = 58;
+  constexpr int kShortZerorun = 59;
+  constexpr int kLongZerorun = 63;
+  constexpr int kShortestLongRun = 2 + kLongZerorun - kShortZerorun;
+  if (data_len < 20) return -4;
+  auto rd32 = [&](int64_t off) {
+    return (uint32_t)data[off] | ((uint32_t)data[off + 1] << 8) |
+           ((uint32_t)data[off + 2] << 16) | ((uint32_t)data[off + 3] << 24);
+  };
+  int64_t im = rd32(0), iM = rd32(4);
+  int64_t n_bits = rd32(12);
+  if (im < 0 || im >= kEncSize || iM < 0 || iM >= kEncSize) return -4;
+
+  const uint8_t* tbl = data + 20;
+  // bit reader (big-endian), mirrors piz.py _BitReader
+  int64_t pos = 0;
+  auto read_bits = [&](int n) -> uint32_t {
+    int64_t byte = pos >> 3;
+    int sh = (int)(pos & 7);
+    uint64_t w = 0;
+    for (int i = 0; i < 8; ++i) w = (w << 8) | tbl[byte + i];
+    pos += n;
+    return (uint32_t)((w >> (64 - sh - n)) & ((1u << n) - 1));
+  };
+
+  std::vector<int32_t> lengths(kEncSize, 0);
+  int64_t max_table_bits = (data_len - 20 + 16) * 8;
+  for (int64_t i = im; i <= iM;) {
+    if (pos >= max_table_bits) return -4;
+    uint32_t l = read_bits(6);
+    if (l == kLongZerorun) {
+      i += read_bits(8) + kShortestLongRun;
+    } else if (l >= kShortZerorun) {
+      i += l - kShortZerorun + 2;
+    } else {
+      lengths[i] = (int32_t)l;
+      i += 1;
+    }
+    if (i > iM + 1) return -4;
+  }
+
+  // canonical codes (hufCanonicalCodeTable)
+  uint64_t n_per_len[59] = {0};
+  for (int64_t s = im; s <= iM; ++s)
+    if (lengths[s] > 0) n_per_len[lengths[s]]++;
+  uint64_t c = 0, start[59] = {0};
+  for (int i = 58; i > 0; --i) {
+    uint64_t nc = (c + n_per_len[i]) >> 1;
+    start[i] = c;
+    c = nc;
+  }
+  std::vector<uint64_t> lut(1u << 16, 0);
+  std::vector<uint64_t> long_keys;
+  std::vector<uint32_t> long_syms;
+  {
+    uint64_t counters[59];
+    std::memcpy(counters, start, sizeof(start));
+    for (int64_t s = im; s <= iM; ++s) {
+      int l = lengths[s];
+      if (l <= 0) continue;
+      uint64_t code = counters[l]++;
+      if (l <= 16) {
+        uint64_t lo = code << (16 - l);
+        uint64_t hi = lo + (1ull << (16 - l));
+        if (hi > (1u << 16)) return -4;
+        uint64_t v = ((uint64_t)l << 32) | (uint64_t)s;
+        for (uint64_t j = lo; j < hi; ++j) lut[j] = v;
+      } else {
+        if (l > kMaxCodeLen) return -4;
+        long_keys.push_back(((uint64_t)l << kMaxCodeLen) | code);
+        long_syms.push_back((uint32_t)s);
+      }
+    }
+    // canonical construction emits codes sorted by (length asc, sym asc);
+    // key order needs a sort since length is the high field
+    std::vector<size_t> order(long_keys.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+      return long_keys[a] < long_keys[b];
+    });
+    std::vector<uint64_t> sk(long_keys.size());
+    std::vector<uint32_t> ss(long_syms.size());
+    for (size_t i = 0; i < order.size(); ++i) {
+      sk[i] = long_keys[order[i]];
+      ss[i] = long_syms[order[i]];
+    }
+    long_keys.swap(sk);
+    long_syms.swap(ss);
+  }
+
+  int64_t base = (pos + 7) & ~7ll;  // entropy data starts byte-aligned
+  return volxel_huf_decode(tbl, base, base + n_bits, lut.data(),
+                           long_keys.data(), long_syms.data(),
+                           (int64_t)long_keys.size(), iM, out, n_out);
+}
+
 }  // extern "C"
