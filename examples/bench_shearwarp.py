@@ -57,26 +57,42 @@ def main() -> None:
     args = (vol, lut, sx, sy, 1.0, 1.1)
 
     xla = jax.jit(lambda v: shearwarp_intermediate_xla(v, *args[1:])[0])
-    pal = jax.jit(lambda v: shearwarp_intermediate_pallas(v, *args[1:])[0])
+    pal8 = jax.jit(
+        lambda v: shearwarp_intermediate_pallas(v, *args[1:], stacked=False)[0]
+    )
+    pal2 = jax.jit(
+        lambda v: shearwarp_intermediate_pallas(v, *args[1:], stacked=True)[0]
+    )
 
     # correctness first
     a = np.asarray(xla(vol))
-    b = np.asarray(pal(vol))
-    err = float(np.abs(a - b).max())
-    print(f"# size {size}^3, intermediate {a.shape}, pallas-vs-xla max err {err:.2e}")
-    assert err < 1e-4
+    b8 = np.asarray(pal8(vol))
+    b2 = np.asarray(pal2(vol))
+    err8 = float(np.abs(a - b8).max())
+    err2 = float(np.abs(a - b2).max())
+    print(
+        f"# size {size}^3, intermediate {a.shape}, pallas-vs-xla max err "
+        f"{err8:.2e} (8-rotate) / {err2:.2e} (stacked 2-rotate)"
+    )
+    assert err8 < 1e-4 and err2 < 1e-4
 
     ms_xla = _median_ms(lambda: xla(vol))
-    ms_pal = _median_ms(lambda: pal(vol))
+    ms_pal8 = _median_ms(lambda: pal8(vol))
+    ms_pal2 = _median_ms(lambda: pal2(vol))
     n_px = a.shape[0] * a.shape[1]
     print(
-        f"shearwarp XLA:    {ms_xla:8.2f} ms/frame  ({n_px / ms_xla / 1e3:.1f} Mpix/s)"
+        f"shearwarp XLA:              {ms_xla:8.2f} ms/frame  ({n_px / ms_xla / 1e3:.1f} Mpix/s)"
     )
     print(
-        f"shearwarp Pallas: {ms_pal:8.2f} ms/frame  ({n_px / ms_pal / 1e3:.1f} Mpix/s)"
-        f"  -> {ms_xla / ms_pal:.2f}x vs XLA",
+        f"shearwarp Pallas 8-rotate:  {ms_pal8:8.2f} ms/frame  ({n_px / ms_pal8 / 1e3:.1f} Mpix/s)"
+        f"  -> {ms_xla / ms_pal8:.2f}x vs XLA"
+    )
+    print(
+        f"shearwarp Pallas stacked:   {ms_pal2:8.2f} ms/frame  ({n_px / ms_pal2 / 1e3:.1f} Mpix/s)"
+        f"  -> {ms_xla / ms_pal2:.2f}x vs XLA, {ms_pal8 / ms_pal2:.2f}x vs 8-rotate",
         flush=True,
     )
+    ms_pal = ms_pal2
 
     # context: the wavefront raymarch MC mode at the same pixel count
     from volxel_tpu import Renderer

@@ -320,10 +320,12 @@ def test_server_over_distributed_renderer():
     srv = PreviewServer(r, port=0)
     srv.start()
     try:
-        _wait_for_frame(srv)
+        # the sharded path tracer's 8-device compile alone can take >60 s
+        # on a loaded host — give the first frame a generous deadline
+        _wait_for_frame(srv, timeout=300.0)
         state = json.loads(_get(srv, "/state").read())
         assert state["samples"] >= 2  # sp=2: each step advances 2 samples
         _post(srv, "/input", {"type": "rotate", "by": [0.2, 0.1]})
-        _wait_for_frame(srv)
+        _wait_for_frame(srv, timeout=300.0)
     finally:
         srv.stop()

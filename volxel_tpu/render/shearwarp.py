@@ -164,7 +164,8 @@ def shearwarp_intermediate_xla(
 
 
 def _sw_kernel(
-    params_ref, vol_ref, lut_ref, c_ref, t_ref, c_acc, t_acc, *, out_h, out_w
+    params_ref, vol_ref, lut_ref, c_ref, t_ref, c_acc, t_acc, *, out_h, out_w,
+    stacked=True,
 ):
     """One grid step = one slice. Accumulators live in VMEM scratch and
     persist across the sequential TPU grid; outputs written at the last
@@ -232,12 +233,12 @@ def _sw_kernel(
         fx = ux - ix.astype(jnp.float32)
 
         # bilinear placement on the FULL canvas: static 4-tap fractional
-        # combine, then one dynamic rotate per axis (tpu.dynamic_rotate).
-        # Mosaic cannot lower dynamic-offset vector windows (it must prove
-        # sublane alignment — kernel fault on hardware, NOTES.md r3), but
-        # dynamic full-array rotates are native; the clip on (uy, ux)
-        # guarantees the rolled block never wraps.
-        def place(img):
+        # combine, then dynamic rotates (tpu.dynamic_rotate). Mosaic cannot
+        # lower dynamic-offset vector windows (it must prove sublane
+        # alignment — kernel fault on hardware, NOTES.md r3), but dynamic
+        # full-array rotates are native; the clip on (uy, ux) guarantees
+        # the rolled block never wraps.
+        def frac_block(img):
             p00 = jnp.pad(img, ((0, 1), (0, 1)))
             p10 = jnp.pad(img, ((1, 0), (0, 1)))
             p01 = jnp.pad(img, ((0, 1), (1, 0)))
@@ -248,16 +249,36 @@ def _sw_kernel(
                 + p01 * (1 - fy) * fx
                 + p11 * fy * fx
             )
-            canvas = jnp.pad(
+            return jnp.pad(
                 blk, ((0, pad_h - (y_n + 1)), (0, pad_w - (x_n + 1)))
             )
-            canvas = pltpu.roll(canvas, iy, 0)
-            return pltpu.roll(canvas, ix, 1)
 
-        a_w = place(alpha)
         t_cur = t_acc[:]
-        for i, img in enumerate((r, g, b)):
-            c_acc[i] = c_acc[i] + t_cur * a_w * place(img)
+        if stacked:
+            # ONE (4*pad_h)-tall canvas holds all 4 channels, so the
+            # whole slice costs 2 rotates instead of 8. The global roll
+            # cannot leak rows across channel segments: each segment's
+            # content spans rows [0, y_n+1) and iy <= out_h - y_n - 1,
+            # so the shifted block ends <= out_h <= pad_h into its
+            # segment (the last segment therefore never wraps either).
+            canvas = jnp.concatenate(
+                [frac_block(img) for img in (alpha, r, g, b)], axis=0
+            )
+            canvas = pltpu.roll(canvas, iy, 0)
+            canvas = pltpu.roll(canvas, ix, 1)
+            a_w = canvas[0:pad_h]
+            for i in range(3):
+                c_acc[i] = c_acc[i] + t_cur * a_w * canvas[
+                    (i + 1) * pad_h:(i + 2) * pad_h
+                ]
+        else:
+            def place(img):
+                canvas = pltpu.roll(frac_block(img), iy, 0)
+                return pltpu.roll(canvas, ix, 1)
+
+            a_w = place(alpha)
+            for i, img in enumerate((r, g, b)):
+                c_acc[i] = c_acc[i] + t_cur * a_w * place(img)
         t_acc[:] = t_cur * (1.0 - a_w)
 
     @pl.when(z == nz - 1)
@@ -267,7 +288,7 @@ def _sw_kernel(
 
 
 def shearwarp_intermediate_pallas(
-    volume, lut, sx: float, sy: float, inv_maj, sigma_dt
+    volume, lut, sx: float, sy: float, inv_maj, sigma_dt, stacked: bool = True
 ):
     """Pallas version of shearwarp_intermediate_xla (same outputs)."""
     z_n, y_n, x_n = volume.shape
@@ -309,7 +330,7 @@ def shearwarp_intermediate_pallas(
         ],
     )
     c_acc, t_acc = pl.pallas_call(
-        functools.partial(_sw_kernel, out_h=out_h, out_w=out_w),
+        functools.partial(_sw_kernel, out_h=out_h, out_w=out_w, stacked=stacked),
         out_shape=[
             jax.ShapeDtypeStruct((3, pad_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
