@@ -125,3 +125,80 @@ def test_pdf_environment_mean_near_uniform():
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     pdf = np.asarray(pdf_environment(state, jnp.asarray(dirs.astype(np.float32))))
     np.testing.assert_allclose(pdf, 1.0 / (4 * np.pi), rtol=1e-3)
+
+
+def _nonuniform_env(h=64, w=128):
+    """Env with strong latitude structure so the equirect Jacobian matters."""
+    rng = np.random.default_rng(11)
+    img = rng.random((h, w, 3)).astype(np.float32) * 0.2
+    img[: h // 5, :, :] += 6.0      # bright cap near one pole
+    img[h // 2, :, 1] += 3.0        # bright equator band
+    return Environment(img)
+
+
+def test_physical_pdf_is_the_samplers_true_density():
+    """E[f/pdf] over warp samples must equal the integral of f over the
+    sphere iff the reported pdf IS the sampling density. f = max(0, y)
+    (integral pi) has latitude structure, so the reference's 1/(4*pi)
+    texel-mass quirk converges to the WRONG value (4/pi times off for a
+    uniform env: int f * 2/(pi sin t) dw = 4) while physical=True is
+    consistent. (f = 1 cannot discriminate: the missing Jacobian
+    integrates out exactly.)"""
+    env = _nonuniform_env()
+    rng = np.random.default_rng(3)
+    rnd2 = jnp.asarray(rng.random((400_000, 2)).astype(np.float32))
+    target = np.pi  # integral of max(0, y) over the unit sphere
+
+    _, pdf_phys, w_phys = _sample_env(env.state, rnd2, physical=True)
+    f = jnp.maximum(w_phys[..., 1], 0.0)
+    est_phys = float(jnp.mean(f / jnp.maximum(pdf_phys, 1e-20)))
+    assert abs(est_phys - target) / target < 0.05, est_phys
+
+    _, pdf_quirk, w_quirk = _sample_env(env.state, rnd2)
+    fq = jnp.maximum(w_quirk[..., 1], 0.0)
+    est_quirk = float(jnp.mean(fq / jnp.maximum(pdf_quirk, 1e-20)))
+    assert abs(est_quirk - target) / target > 0.15, (
+        "the quirk pdf unexpectedly passed the consistency test; "
+        "the extension would be pointless on this env"
+    )
+
+
+def test_physical_pdf_sides_agree():
+    """pdf_environment(physical) must report the same density
+    sample_environment(physical) attaches to its own draws (both sides of
+    the MIS pair see one distribution). Texel-edge roundtrips can land in
+    a neighboring texel for a tiny fraction of draws."""
+    env = _nonuniform_env()
+    rng = np.random.default_rng(4)
+    rnd2 = jnp.asarray(rng.random((50_000, 2)).astype(np.float32))
+    _, pdf_s, w_i = _sample_env(env.state, rnd2, physical=True)
+    pdf_q = _pdf_env(env.state, w_i, physical=True)
+    rel = np.abs(np.asarray(pdf_q) - np.asarray(pdf_s)) / np.maximum(
+        np.asarray(pdf_s), 1e-12
+    )
+    assert float(np.mean(rel < 1e-3)) > 0.99, float(np.mean(rel < 1e-3))
+
+
+def test_physical_pdf_renders(tmp_path):
+    """settings.physical_pdf drives a full render to finite output and
+    changes the image (the MIS weights differ) without changing the
+    default path."""
+    from volxel_tpu.api.renderer import Renderer
+    from volxel_tpu.grid.brick import construct_brick_grid
+
+    rng = np.random.default_rng(5)
+    vol = (rng.random((16, 16, 16)) > 0.6).astype(np.float32) * 0.8
+    grid = construct_brick_grid(vol, transform=np.eye(4, dtype=np.float32))
+    imgs = {}
+    for phys in (False, True):
+        r = Renderer(width=24, height=24)
+        r.restart_from_grid(grid)
+        r.load_env(  # nonuniform env so the pdfs differ
+            __import__("volxel_tpu.utils.fixtures", fromlist=["x"]).synthetic_env_hdr(32, 16)
+        )
+        r.camera.zoom(2.0)
+        r.settings.bounces = 2
+        r.settings.physical_pdf = phys
+        imgs[phys] = np.asarray(r.render_frame())
+    assert np.isfinite(imgs[False]).all() and np.isfinite(imgs[True]).all()
+    assert not np.allclose(imgs[False], imgs[True])

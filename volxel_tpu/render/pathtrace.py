@@ -59,6 +59,9 @@ class RenderConfig(NamedTuple):
     # extension: unbiased ratio-tracking shadow transmittance instead of
     # the reference's binary-shadow quirk (see modes.transmittance_dda)
     physical_shadows: bool = False
+    # extension: true equirect solid-angle env pdf on both MIS sides
+    # instead of the reference's 1/(4*pi) texel mass (scene.environment)
+    physical_pdf: bool = False
     # wavefront chunking: the traversal while_loops run until EVERY lane
     # finishes, so one worst-case ray stalls the whole wavefront. Chunking
     # lax.maps the trace over coherent pixel blocks, letting each block
@@ -107,7 +110,9 @@ def trace_path(
             le = env_radiance(direction)
             mis = jnp.where(
                 n_paths > 0,
-                power_heuristic(f_p, pdf_environment(env, direction)),
+                power_heuristic(
+                    f_p, pdf_environment(env, direction, config.physical_pdf)
+                ),
                 1.0,
             )
             radiance = radiance + jnp.where(
@@ -127,7 +132,7 @@ def trace_path(
         # pinned by tests/test_parity_oracle.py.
         state, xi2 = rng2_where(active, state)
         if config.use_env:
-            le_nee, pdf_nee, w_i = sample_environment(env, xi2)
+            le_nee, pdf_nee, w_i = sample_environment(env, xi2, config.physical_pdf)
         else:
             le_nee, pdf_nee, w_i = sample_environment_light(env, xi2, light_dir)
         valid_nee = active & (pdf_nee > 0.0)

@@ -16,6 +16,14 @@ Faithfully replicated reference quirks (documented, kept for parity):
     (environment.glsl:80-86)
   * pdf_environment() scales luma by env_strength while the importance map
     is built unscaled (environment.glsl:82-86 vs envSetup.frag:24-37)
+
+Extension (settings.physical_pdf, off by default): `physical=True` makes
+both sides of the MIS pair report the ACTUAL density of the hierarchical
+warp sampler over solid angle — importance-map texel mass times the
+equirect Jacobian 1/(2*pi^2*sin(theta)) — turning NEE+MIS into a
+consistent estimator (E[1/pdf] = 4*pi; pinned by tests/test_scene.py).
+Both quirks above vanish in this mode: the pdf reads the same unscaled
+importance map the sampler warps through.
 """
 
 from __future__ import annotations
@@ -151,10 +159,12 @@ def lookup_environment_light(env: EnvState, direction, light_dir):
     return env.strength * glow[..., None] * jnp.ones(3, jnp.float32)
 
 
-def sample_environment(env: EnvState, rnd2):
+def sample_environment(env: EnvState, rnd2, physical: bool = False):
     """Hierarchical warp sample (environment.glsl:36-80).
 
     rnd2: (..., 2) uniforms. Returns (Le (...,3), pdf (...), w_i (...,3)).
+    physical=True reports the warp's true solid-angle density instead of
+    the reference's 1/(4*pi)-scaled texel mass (module docstring).
     """
     shape = rnd2.shape[:-1]
     pos_x = jnp.zeros(shape, jnp.int32)
@@ -193,7 +203,17 @@ def sample_environment(env: EnvState, rnd2):
 
     le = env.strength * _bilinear_wrap_clamp(env.envmap, uv_x, uv_y)
     avg_w = env.imp_mips[IMP_BASE_MIP][0, 0]
-    pdf = env.imp_mips[0][pos_y, pos_x] / avg_w * jnp.float32(1.0 / (4.0 * M_PI))
+    texel_ratio = env.imp_mips[0][pos_y, pos_x] / avg_w
+    if physical:
+        # texel mass / (avg * N) over uv-area 1/N, through the equirect
+        # Jacobian d(omega) = 2*pi^2*sin(theta) d(uv): the warp's actual
+        # direction density. sin(theta) -> 0 only on the measure-zero
+        # poles; the clamp keeps the division finite there.
+        pdf = texel_ratio / (
+            2.0 * M_PI * M_PI * jnp.maximum(sin_t, jnp.float32(1e-6))
+        )
+    else:
+        pdf = texel_ratio * jnp.float32(1.0 / (4.0 * M_PI))
     return le, pdf, w_i
 
 
@@ -205,10 +225,26 @@ def sample_environment_light(env: EnvState, rnd2, light_dir):
     return le[..., None] * jnp.ones(3, jnp.float32), jnp.ones(shape, jnp.float32), w_i
 
 
-def pdf_environment(env: EnvState, direction):
-    """environment.glsl:82-86 — strength-scaled luma over mean importance."""
-    le = lookup_environment(env, direction)
+def pdf_environment(env: EnvState, direction, physical: bool = False):
+    """environment.glsl:82-86 — strength-scaled luma over mean importance.
+
+    physical=True returns the density sample_environment(physical=True)
+    actually draws this direction with: the importance-map texel holding
+    (u, v) (the very table the warp descends — unscaled, unlike the
+    reference's strength-scaled radiance luma) over the equirect Jacobian.
+    """
     avg_w = env.imp_mips[IMP_BASE_MIP][0, 0]
+    if physical:
+        u, v = _dir_to_uv(direction)
+        px = jnp.clip((u * IMP_DIM).astype(jnp.int32), 0, IMP_DIM - 1)
+        py = jnp.clip((v * IMP_DIM).astype(jnp.int32), 0, IMP_DIM - 1)
+        sin_t = jnp.sqrt(
+            jnp.maximum(1.0 - jnp.clip(direction[..., 1], -1.0, 1.0) ** 2, 0.0)
+        )
+        return env.imp_mips[0][py, px] / avg_w / (
+            2.0 * M_PI * M_PI * jnp.maximum(sin_t, jnp.float32(1e-6))
+        )
+    le = lookup_environment(env, direction)
     return luma(le) / avg_w * jnp.float32(1.0 / (4.0 * M_PI))
 
 
