@@ -32,6 +32,23 @@ import time
 import numpy as np
 
 
+class DegradedChipError(RuntimeError):
+    """A single frame exceeded the plausibility budget — the tunneled chip
+    is in its known degraded state (while_loop workloads observed running
+    ~10^5 x slow for minutes at a time). Carries the measured frame ms so
+    a fully-degraded run can still report a number instead of crashing."""
+
+    def __init__(self, frame_ms: float):
+        super().__init__(f"degraded chip: one frame took {frame_ms / 1000.0:.1f}s")
+        self.frame_ms = frame_ms
+
+
+# Healthy 1080p frames are ~0.1-0.3 ms; the degraded state is ~30-40 s.
+# Anything above this is unambiguously the degraded state — abort the
+# block instead of burning 38 frames x 34 s on garbage numbers.
+FRAME_ABORT_S = 5.0
+
+
 def _time_mode(r, warmup: int = 2, timed: int = 12, blocks: int = 3) -> float:
     """Median ms/frame of the best of `blocks` timing blocks.
 
@@ -40,16 +57,27 @@ def _time_mode(r, warmup: int = 2, timed: int = 12, blocks: int = 3) -> float:
     examples/ab_loop_cond.py, NOTES.md round 3); one block's median is a
     coin flip. Best-block-median reports sustained capability and is
     stable run-to-run.
+
+    The first warmup frame (compile) is exempt from the abort budget;
+    every later frame that exceeds FRAME_ABORT_S raises DegradedChipError
+    so a degraded-state run costs ~2 frames per mode, not 38.
     """
-    for _ in range(warmup):
+    for i in range(warmup):
+        t0 = time.perf_counter()
         r.render_frame().block_until_ready()
+        dt = time.perf_counter() - t0
+        if i > 0 and dt > FRAME_ABORT_S:
+            raise DegradedChipError(dt * 1000.0)
     best = []
     for _ in range(blocks):
         times = []
         for _ in range(timed):
             t0 = time.perf_counter()
             r.render_frame().block_until_ready()
-            times.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if dt > FRAME_ABORT_S:
+                raise DegradedChipError(dt * 1000.0)
+            times.append(dt)
         best.append(np.median(times))
     return float(min(best) * 1000.0)
 
@@ -148,7 +176,9 @@ def main() -> None:
     # (NOTES.md round 3), so back-to-back blocks alone can't escape a slow
     # phase.
     sweep: dict[str, object] = {}
-    for pass_i in range(2):
+    degraded_ms: dict[str, float] = {}
+
+    def sweep_pass(pass_i: int) -> None:
         for mode in ("default", "no_dda", "raymarch"):
             try:
                 r.render_mode = mode  # resets accumulation + respecializes
@@ -161,10 +191,50 @@ def main() -> None:
                     f"(incl. compile {time.time() - t0:.0f}s)",
                     file=sys.stderr,
                 )
+            except DegradedChipError as e:
+                degraded_ms[mode] = min(degraded_ms.get(mode, e.frame_ms), e.frame_ms)
+                print(f"# pass {pass_i} {mode}: {e}", file=sys.stderr)
             except Exception as e:  # noqa: BLE001
                 if not isinstance(sweep.get(mode), float):
                     sweep[mode] = {"error": _err(e)}
                 print(f"# {mode}: FAILED {_err(e)}", file=sys.stderr)
+
+    for pass_i in range(2):
+        sweep_pass(pass_i)
+
+    # degraded-state recovery: the tunnel's degraded phases pass (NOTES.md
+    # measurement hygiene) — if the sweep produced no healthy number, wait
+    # within a bounded budget, probing with single frames, and re-sweep
+    # once the chip answers at sane speed again.
+    recovery_s = 0.0
+    if degraded_ms and not any(isinstance(v, float) for v in sweep.values()):
+        RECOVERY_BUDGET_S = 900.0
+        t_rec = time.time()
+        recovered = False
+        while time.time() - t_rec < RECOVERY_BUDGET_S:
+            time.sleep(60.0)
+            try:
+                t0 = time.perf_counter()
+                r.render_frame().block_until_ready()
+                if time.perf_counter() - t0 < FRAME_ABORT_S:
+                    recovered = True
+                    break
+            except Exception as e:  # noqa: BLE001
+                print(f"# recovery probe failed: {_err(e)}", file=sys.stderr)
+            print(
+                f"# chip still degraded after {time.time() - t_rec:.0f}s, waiting",
+                file=sys.stderr,
+            )
+        recovery_s = time.time() - t_rec
+        if recovered:
+            print(f"# chip recovered after {recovery_s:.0f}s, re-sweeping", file=sys.stderr)
+            sweep_pass(2)
+
+    # a mode with only degraded frames still reports its (terrible) number
+    # rather than nothing: a parseable red number beats a crashed round
+    for mode, ms in degraded_ms.items():
+        if not isinstance(sweep.get(mode), float):
+            sweep[mode] = round(ms, 1)
 
     # step-count study on the benchmark scene (default mode). Optional and
     # DOUBLY guarded: it runs in a subprocess with a hard deadline — on a
@@ -172,7 +242,10 @@ def main() -> None:
     # (observed r3), and a hang would blow the driver's budget just as
     # surely as r2's kernel fault did.
     steps: object = None
-    if isinstance(sweep.get("default"), float):
+    if (
+        isinstance(sweep.get("default"), float)
+        and sweep["default"] < FRAME_ABORT_S * 1000.0  # skip on degraded-only
+    ):
         import subprocess
 
         try:
@@ -219,6 +292,14 @@ def main() -> None:
                 "steps": steps,
                 "ingest_s": ingest_s,
                 "setup_s": round(setup_s, 1),
+                **(
+                    {
+                        "chip_degraded_modes": sorted(degraded_ms),
+                        "recovery_wait_s": round(recovery_s, 1),
+                    }
+                    if degraded_ms
+                    else {}
+                ),
             }
         )
     )

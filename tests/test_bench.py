@@ -105,6 +105,34 @@ def test_bench_survives_mode_crash(monkeypatch, capsys):
     assert isinstance(sweep["raymarch"], float)
 
 
+def test_bench_degraded_chip_still_prints(monkeypatch, capsys):
+    """A fully-degraded chip (every frame over the abort budget) must not
+    crash or hang the bench: each mode costs ~2 frames, the bounded
+    recovery wait runs, and the JSON line reports the degraded number
+    with an explicit marker instead of nothing."""
+    bench = _load_bench()
+
+    def degraded(r, **kw):
+        raise bench.DegradedChipError(34000.0)
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(bench, "_time_mode", degraded)
+    monkeypatch.setattr(
+        bench.time, "sleep", lambda s: sleeps.append(s), raising=True
+    )
+    monkeypatch.setattr(sys, "argv", ["bench.py", "16", "64", "36"])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["value"] == 34000.0
+    assert payload["vs_baseline"] < 0.001
+    assert payload["chip_degraded_modes"] == ["default", "no_dda", "raymarch"]
+    assert "recovery_wait_s" in payload
+    assert sleeps, "recovery loop should have waited for the chip"
+    # degraded default must not trigger the step-stats subprocess
+    assert payload["steps"] is None
+
+
 def test_bench_total_failure_still_prints(monkeypatch, capsys):
     """Even with every mode dead, a parseable JSON record prints (and the
     nonzero exit marks the round red with an explanation, not a traceback)."""
