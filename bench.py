@@ -253,14 +253,14 @@ def main() -> None:
                 [sys.executable, "-u", __file__, "--steps-only", str(size)],
                 capture_output=True,
                 text=True,
-                timeout=420,
+                timeout=540,
             )
             if proc.returncode == 0 and proc.stdout.strip():
                 steps = json.loads(proc.stdout.strip().splitlines()[-1])
             else:
                 steps = {"error": f"rc={proc.returncode}: {proc.stderr[-200:]}"}
         except subprocess.TimeoutExpired:
-            steps = {"error": "step statistics timed out after 420s; skipped"}
+            steps = {"error": "step statistics timed out after 540s; skipped"}
             print("# step stats: timed out, skipped", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             steps = {"error": _err(e)}

@@ -41,9 +41,8 @@ def main() -> None:
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     rng = np.random.default_rng(0)
     z = y = x = size
-    vol = jnp.asarray(
-        (rng.random((z, y, x)) * (rng.random((z, y, x)) > 0.7)).astype(np.float32)
-    )
+    vol_np = (rng.random((z, y, x)) * (rng.random((z, y, x)) > 0.7)).astype(np.float32)
+    vol = jnp.asarray(vol_np)
     lut = jnp.asarray(
         generate_transfer_function(
             [
@@ -64,22 +63,17 @@ def main() -> None:
         lambda v: shearwarp_intermediate_pallas(v, *args[1:], stacked=True)[0]
     )
 
-    # correctness first
-    a = np.asarray(xla(vol))
-    b8 = np.asarray(pal8(vol))
-    b2 = np.asarray(pal2(vol))
-    err8 = float(np.abs(a - b8).max())
-    err2 = float(np.abs(a - b2).max())
-    print(
-        f"# size {size}^3, intermediate {a.shape}, pallas-vs-xla max err "
-        f"{err8:.2e} (8-rotate) / {err2:.2e} (stacked 2-rotate)"
-    )
-    assert err8 < 1e-4 and err2 < 1e-4
-
+    # TIMING FIRST, correctness fetch LAST: the session's first
+    # device->host transfer permanently adds ~33 ms of sync overhead to
+    # every subsequent dispatch (NOTES.md round 3b) — the original
+    # fetch-first ordering buried both implementations under that floor
+    # (XLA 70.8 / Pallas 30.2 ms at 256^3 were poisoned numbers).
+    inter_shape = jax.eval_shape(xla, vol).shape
+    inter_side = int(inter_shape[0])
     ms_xla = _median_ms(lambda: xla(vol))
     ms_pal8 = _median_ms(lambda: pal8(vol))
     ms_pal2 = _median_ms(lambda: pal2(vol))
-    n_px = a.shape[0] * a.shape[1]
+    n_px = inter_shape[0] * inter_shape[1]
     print(
         f"shearwarp XLA:              {ms_xla:8.2f} ms/frame  ({n_px / ms_xla / 1e3:.1f} Mpix/s)"
     )
@@ -92,15 +86,13 @@ def main() -> None:
         f"  -> {ms_xla / ms_pal2:.2f}x vs XLA, {ms_pal8 / ms_pal2:.2f}x vs 8-rotate",
         flush=True,
     )
-    ms_pal = ms_pal2
-
     # context: the wavefront raymarch MC mode at the same pixel count
+    # (still fetch-free; runs before the correctness fetches below)
     from volxel_tpu import Renderer
     from volxel_tpu.grid import construct_brick_grid
 
-    grid = construct_brick_grid(np.asarray(vol), transform=np.eye(4, dtype=np.float32))
-    side = a.shape[0]
-    r = Renderer(width=side, height=side)
+    grid = construct_brick_grid(vol_np, transform=np.eye(4, dtype=np.float32))
+    r = Renderer(width=inter_side, height=inter_side)
     r.restart_from_grid(grid)
     r.camera.zoom(2.0)
     r.settings.bounces = 1
@@ -108,8 +100,21 @@ def main() -> None:
     ms_rm = _median_ms(lambda: r.render_frame(), n=6)
 
     print(
-        f"raymarch MC mode: {ms_rm:8.2f} ms/sample ({side}x{side}, 1 progressive sample)"
+        f"raymarch MC mode: {ms_rm:8.2f} ms/sample "
+        f"({inter_side}x{inter_side}, 1 progressive sample)"
     )
+
+    # correctness LAST: these asarray calls poison the session (see above)
+    a = np.asarray(xla(vol))
+    b8 = np.asarray(pal8(vol))
+    b2 = np.asarray(pal2(vol))
+    err8 = float(np.abs(a - b8).max())
+    err2 = float(np.abs(a - b2).max())
+    print(
+        f"# size {size}^3, intermediate {a.shape}, pallas-vs-xla max err "
+        f"{err8:.2e} (8-rotate) / {err2:.2e} (stacked 2-rotate)"
+    )
+    assert err8 < 1e-4 and err2 < 1e-4
 
 
 if __name__ == "__main__":
