@@ -63,11 +63,12 @@ def main() -> None:
         lambda v: shearwarp_intermediate_pallas(v, *args[1:], stacked=True)[0]
     )
 
-    # TIMING FIRST, correctness fetch LAST: the session's first
-    # device->host transfer permanently adds ~33 ms of sync overhead to
-    # every subsequent dispatch (NOTES.md round 3b) — the original
-    # fetch-first ordering buried both implementations under that floor
-    # (XLA 70.8 / Pallas 30.2 ms at 256^3 were poisoned numbers).
+    # TIMING FIRST, correctness fetch LAST: a session's first
+    # device->host transfer CAN stall ~4 min and permanently add ~33 ms
+    # of sync overhead to every later dispatch (NOTES.md round 3b; the
+    # trigger is intermittent — a fetch-free rerun of this script
+    # reproduced the original fetch-first numbers, 2.30x — but the
+    # ordering costs nothing and removes the hazard).
     inter_shape = jax.eval_shape(xla, vol).shape
     inter_side = int(inter_shape[0])
     ms_xla = _median_ms(lambda: xla(vol))
