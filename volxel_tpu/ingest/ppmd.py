@@ -468,8 +468,10 @@ class _Model:
                 s = self._stats_addr(c)
                 while self.st_symbol(s) != fsym:
                     s += 6
-                # canonical CreateSuccessors bumps the matched state in
-                # walked multi-symbol suffix contexts
+                # bump the matched state in walked multi-symbol suffix
+                # contexts (closest match to canonical found so far; the
+                # exact canonical bump condition is still being pinned
+                # with the differential harness)
                 if self.st_freq(s) < MAX_FREQ - 9:
                     self.set_st_freq(s, self.st_freq(s) + 1)
                     self.set_ctx_summ_freq(c, self.ctx_summ_freq(c) + 1)
@@ -633,8 +635,53 @@ class _Model:
                 if self.max_context != self.min_context:
                     p.text -= 1
         else:
+            # fresh symbol: the modern UpdateModel walks the suffix
+            # chain, linking every context whose matching state has no
+            # successor yet to the new text position (bumping its
+            # frequency), until it meets a state that already leads
+            # somewhere — that state's target becomes the new context.
             self.set_st_successor(f_state, successor)
-            f_successor = mc
+            self.order_fall += 1
+            c = mc
+            while True:
+                sfx = self.ctx_suffix(c)
+                if not sfx:
+                    f_successor = c  # whole chain linked; land at the root
+                    break
+                c = sfx
+                if self.ctx_num_stats(c) != 0:
+                    s = self._stats_addr(c)
+                    while self.st_symbol(s) != f_symbol:
+                        s += 6
+                    if self.st_freq(s) <= MAX_FREQ - 10:
+                        self.set_st_freq(s, self.st_freq(s) + 2)
+                        self.set_ctx_summ_freq(c, self.ctx_summ_freq(c) + 2)
+                else:
+                    s = self.one_state(c)
+                    if self.st_freq(s) <= 31:
+                        self.set_st_freq(s, self.st_freq(s) + 1)
+                tgt = self.st_successor(s)
+                if tgt == 0:
+                    self.set_st_successor(s, successor)
+                    self.order_fall += 1
+                    continue
+                if tgt <= successor:  # a text position: materialize it
+                    save = self.found_state
+                    self.found_state = s
+                    cs = self.create_successors(False)
+                    self.found_state = save
+                    if not cs:
+                        self.restart()
+                        return
+                    self.set_st_successor(s, cs)
+                    tgt = cs
+                f_successor = tgt
+                break
+            self.order_fall -= 1
+            if self.order_fall == 0:
+                successor = f_successor
+                if self.max_context != self.min_context:
+                    p.text -= 1
 
         ns = self.ctx_num_stats(mc) + 1
         s0 = self.ctx_summ_freq(mc) - ns - (f_freq - 1)
