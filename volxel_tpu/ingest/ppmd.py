@@ -14,14 +14,14 @@ directly through ctypes (tests/test_ppmd.py).
 Verification status (tests/test_ppmd.py):
   * round-trips: full coverage (all data classes, orders 2..16);
   * canonical conformance: the canonical decoder reproduces our streams
-    byte-for-byte INCLUDING the end marker for repeat-run, byte-range
-    and abracadabra-class inputs;
-  * known remaining gap: mixed-text inputs still diverge where the
-    modern UpdateModel walks the suffix chain for a fresh symbol
-    (fSuccessor == 0), setting successors and bumping frequencies level
-    by level; this implementation uses the classic single-level update
-    there. The divergence is a few frequency counts, localized with the
-    differential harness; until it is closed the ZIP ingest keeps
+    byte-for-byte INCLUDING the end marker for repeat-run, byte-range,
+    abracadabra- and mississippi-class inputs — the fresh-symbol
+    suffix-chain update, the s1 pass-through into CreateSuccessors, the
+    walk bump rules, and the rescale 0x04 flag are all canonical now;
+  * known remaining gap: LONG mixed text diverges tens of symbols in,
+    inside SEE-statistics territory (suspect: the see_update
+    shift/count growth rule). Localize with
+    examples/ppmd_differential.py; until it closes, ZIP ingest keeps
     rejecting method-98 members by name instead of decoding them.
 
 Stream format:
@@ -454,9 +454,18 @@ class _Model:
     def _stats_addr(self, c, i=0):
         return self.ctx_stats(c) + 6 * i
 
-    def create_successors(self, skip):
+    def create_successors(self, skip, s1=0, start=0):
+        """Materialize the pending context chain for FoundState.
+
+        s1, when given, is the state for the FIRST walked suffix context
+        (already located — and statistics-updated — by the caller's
+        suffix-update step), so it is used without a re-scan or bump;
+        every later walked context is scanned and has its matched state
+        bumped (+1 for multi contexts below MAX_FREQ-9; +1 for one-state
+        contexts while freq <= 23 and their own suffix is one-state too).
+        """
         p = self.pool
-        c = self.min_context
+        c = start or self.min_context
         up_branch = self.st_successor(self.found_state)
         fsym = self.st_symbol(self.found_state)
         ps = []
@@ -464,20 +473,21 @@ class _Model:
             ps.append(self.found_state)
         while self.ctx_suffix(c):
             c = self.ctx_suffix(c)
-            if self.ctx_num_stats(c) != 0:
+            if s1:
+                s, s1 = s1, 0
+            elif self.ctx_num_stats(c) != 0:
                 s = self._stats_addr(c)
                 while self.st_symbol(s) != fsym:
                     s += 6
-                # bump the matched state in walked multi-symbol suffix
-                # contexts (closest match to canonical found so far; the
-                # exact canonical bump condition is still being pinned
-                # with the differential harness)
                 if self.st_freq(s) < MAX_FREQ - 9:
                     self.set_st_freq(s, self.st_freq(s) + 1)
                     self.set_ctx_summ_freq(c, self.ctx_summ_freq(c) + 1)
             else:
                 s = self.one_state(c)
-                if self.st_freq(s) < 32:
+                if (
+                    self.st_freq(s) <= 23
+                    and self.ctx_num_stats(self.ctx_suffix(c)) == 0
+                ):
                     self.set_st_freq(s, self.st_freq(s) + 1)
             successor = self.st_successor(s)
             if successor != up_branch:
@@ -489,8 +499,8 @@ class _Model:
 
         up_symbol = p.mem[up_branch]
         up_successor = up_branch + 1
-        flags = (0x10 if up_symbol >= 0x40 else 0) + (
-            0x08 if fsym >= 0x40 else 0
+        flags = (0x08 if up_symbol >= 0x40 else 0) + (
+            0x10 if fsym >= 0x40 else 0
         )
 
         if self.ctx_num_stats(c) == 0:
@@ -579,6 +589,8 @@ class _Model:
             if n0 != n1:
                 self.set_ctx_stats(c, self.pool.shrink_units(stats, n0, n1))
         self.set_ctx_summ_freq(c, sum_freq + esc_freq - (esc_freq >> 1))
+        # canonical marks rescaled contexts; the bit feeds the SEE column
+        self.set_ctx_flags(c, self.ctx_flags(c) | 0x04)
         self.found_state = self._stats_addr(c)
 
     def update_model(self):
@@ -589,6 +601,7 @@ class _Model:
         f_successor = self.st_successor(f_state)
         mc = self.min_context
 
+        sfx_state = 0  # the state the suffix-update located (s1 below)
         if f_freq < MAX_FREQ // 4 and self.ctx_suffix(mc):
             c = self.ctx_suffix(mc)
             if self.ctx_num_stats(c) == 0:
@@ -606,9 +619,10 @@ class _Model:
                 if self.st_freq(s) < MAX_FREQ - 9:
                     self.set_st_freq(s, self.st_freq(s) + 2)
                     self.set_ctx_summ_freq(c, self.ctx_summ_freq(c) + 2)
+            sfx_state = s
 
         if self.order_fall == 0:
-            c = self.create_successors(True)
+            c = self.create_successors(True, s1=sfx_state)
             if not c:
                 self.restart()
                 return
@@ -625,7 +639,7 @@ class _Model:
 
         if f_successor:
             if f_successor <= p.text:  # points into the text area
-                f_successor = self.create_successors(False)
+                f_successor = self.create_successors(False, s1=sfx_state)
                 if not f_successor:
                     self.restart()
                     return
@@ -668,7 +682,7 @@ class _Model:
                 if tgt <= successor:  # a text position: materialize it
                     save = self.found_state
                     self.found_state = s
-                    cs = self.create_successors(False)
+                    cs = self.create_successors(False, start=c)
                     self.found_state = save
                     if not cs:
                         self.restart()
@@ -734,7 +748,7 @@ class _Model:
             self.set_st_freq(s, cf)
             self.set_ctx_num_stats(c, ns1)  # count-1 of the grown set
             self.set_ctx_flags(
-                c, self.ctx_flags(c) | (0x10 if f_symbol >= 0x40 else 0)
+                c, self.ctx_flags(c) | (0x08 if f_symbol >= 0x40 else 0)
             )
             c = self.ctx_suffix(c)
         self.max_context = self.min_context = f_successor
