@@ -109,6 +109,46 @@ def test_environment_loads_piz(rng):
     assert np.isfinite(out).all()
 
 
+def test_huf_hostile_n_bits_rejected(monkeypatch):
+    """A chunk whose header claims n_bits far past the buffer must be
+    rejected (-4/corrupt), not read out of bounds — in both the native
+    decoder and the Python fallback (advisor finding r2: unvalidated
+    rd32(12) drove end_bit gigabytes past the allocation)."""
+    import struct
+
+    import volxel_tpu.ingest.piz as piz
+    import volxel_tpu.native.loader as loader
+
+    vals = np.arange(200, dtype=np.uint16) % 50
+    blob = bytearray(piz.huf_compress(vals))
+    struct.pack_into("<I", blob, 12, 0xFFFFFF00)  # hostile n_bits
+    for force_python in ([False, True] if loader.native_available() else [True]):
+        if force_python:
+            monkeypatch.setattr(loader, "native_available", lambda: False)
+        with pytest.raises(piz.PizError):
+            piz.huf_uncompress(bytes(blob), len(vals))
+
+
+def test_huf_hostile_table_rejected(monkeypatch):
+    """A code-length table that never terminates within the buffer (all
+    long-zerorun bytes) must hit the bounds check, not overread the
+    8-byte fetch window past the padded allocation."""
+    import struct
+
+    import volxel_tpu.ingest.piz as piz
+    import volxel_tpu.native.loader as loader
+
+    # header: im=0, iM=65535 -> expects a full table; body is all 0xFF so
+    # the reader keeps consuming 6-bit codes off the end of the data
+    header = struct.pack("<5I", 0, 65535, 4, 8, 0)
+    blob = header + b"\xff" * 4
+    for force_python in ([False, True] if loader.native_available() else [True]):
+        if force_python:
+            monkeypatch.setattr(loader, "native_available", lambda: False)
+        with pytest.raises(piz.PizError):
+            piz.huf_uncompress(blob, 16)
+
+
 def test_huf_native_matches_python_fallback(monkeypatch):
     """The native ImfHuf decode and the pure-Python loop must agree on
     real streams (including long >16-bit codes and RLE runs)."""

@@ -412,6 +412,12 @@ def huf_uncompress(data: bytes, n_out: int) -> np.ndarray:
     raw = br.data
     bitpos = base
     end = base + n_bits
+    # mirror of the native bound: n_bits is attacker-controlled and the
+    # decode loop reads ~10 bytes at the current position; reject streams
+    # whose claimed payload extends past the buffer (plus slack the Python
+    # slices would silently zero-fill).
+    if end > (len(data) - 20 + 7) * 8:
+        raise PizError("corrupt Huffman header")
     rlc = iM
     out = np.empty(n_out, np.uint16)
     k = 0

@@ -419,11 +419,16 @@ int64_t volxel_huf_uncompress(const uint8_t* data, int64_t data_len,
   };
 
   std::vector<int32_t> lengths(kEncSize, 0);
-  int64_t max_table_bits = (data_len - 20 + 16) * 8;
+  // read_bits fetches an 8-byte window at tbl[pos>>3]; the caller pads the
+  // buffer with >=16 zero bytes past data_len, so reserving the window keeps
+  // every fetch (including the follow-on 8-bit zero-run read below, which can
+  // advance pos by 6 first) inside the padded allocation.
+  int64_t max_table_bits = (data_len - 20 + 8) * 8;
   for (int64_t i = im; i <= iM;) {
     if (pos >= max_table_bits) return -4;
     uint32_t l = read_bits(6);
     if (l == kLongZerorun) {
+      if (pos >= max_table_bits) return -4;
       i += read_bits(8) + kShortestLongRun;
     } else if (l >= kShortZerorun) {
       i += l - kShortZerorun + 2;
@@ -484,6 +489,11 @@ int64_t volxel_huf_uncompress(const uint8_t* data, int64_t data_len,
   }
 
   int64_t base = (pos + 7) & ~7ll;  // entropy data starts byte-aligned
+  // n_bits is attacker-controlled; volxel_huf_decode reads up to 10 bytes at
+  // the current bit position (and the RLE branch up to ~8 bytes past end_bit),
+  // so the end bit must leave that window inside the 16-byte-padded buffer:
+  // max read byte = (end_bit-1)/8 + 9 <= data_len - 20 + 15.
+  if (n_bits < 0 || base + n_bits > (data_len - 20 + 7) * 8) return -4;
   return volxel_huf_decode(tbl, base, base + n_bits, lut.data(),
                            long_keys.data(), long_syms.data(),
                            (int64_t)long_keys.size(), iM, out, n_out);
