@@ -86,19 +86,32 @@ def _err(e: BaseException) -> str:
     return f"{type(e).__name__}: {e}"[:300]
 
 
-def _build_benchmark_renderer(size: int, width: int, height: int):
+def _build_benchmark_renderer(size: int, width: int, height: int, stages=None):
     """The benchmark scene (shared by the sweep and the --steps-only
-    subprocess so both measure the same state)."""
+    subprocess so both measure the same state). `stages`, when given, is a
+    dict that receives per-stage wall times so BENCH setup time is
+    attributable line-item by line-item (BENCH_r02 carried 348 s of
+    unattributed setup)."""
     from volxel_tpu import Renderer
     from volxel_tpu.grid import construct_brick_grid
     from volxel_tpu.utils.fixtures import synthetic_ct_volume
 
+    def stage(name):
+        if stages is not None:
+            stages[name] = round(time.time() - stage.t0, 2)
+        stage.t0 = time.time()
+
+    stage.t0 = time.time()
     vol = synthetic_ct_volume((size, size, size), bits_stored=12)
+    stage("volume_synth_s")
     grid = construct_brick_grid(
         vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
     )
+    stage("brick_build_s")
     r = Renderer(width=width, height=height)
+    stage("renderer_init_s")
     r.restart_from_grid(grid)
+    stage("grid_device_upload_s")
     r.camera.rotate_around_view(0.6, 0.4)
     r.camera.zoom(2.0)
     r.settings.bounces = 1
@@ -135,7 +148,10 @@ def main() -> None:
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
     height = int(sys.argv[3]) if len(sys.argv) > 3 else 1080
 
+    setup_stages: dict[str, object] = {}
+    t0 = time.time()
     vol = synthetic_ct_volume((size, size, size), bits_stored=12)
+    setup_stages["ingest_volume_synth_s"] = round(time.time() - t0, 2)
 
     # ingest timing: DICOM ZIP -> grid, the reference's ">2 minutes" path
     # (README.md:12). Sliced at the benchmark volume size. Optional: any
@@ -151,10 +167,12 @@ def main() -> None:
 
             blobs_vol = vol[: min(size, 512)]
             buf = io.BytesIO()
+            t0 = time.time()
             with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
                 for i, blob in enumerate(write_dicom_series(blobs_vol, bits_stored=12)):
                     zf.writestr(f"series/slice_{i:04d}.dcm", blob)
             zip_bytes = buf.getvalue()
+            setup_stages["zip_write_s"] = round(time.time() - t0, 2)
             del buf
             t0 = time.time()
             read_zip_to_grid(zip_bytes)
@@ -164,10 +182,13 @@ def main() -> None:
             ingest_s = {"error": _err(e)}
     del vol
 
-    r = _build_benchmark_renderer(size, width, height)
+    r = _build_benchmark_renderer(size, width, height, stages=setup_stages)
 
     setup_s = time.time() - t_setup
-    print(f"# setup {setup_s:.1f}s (ingest {ingest_s}s), compiling...", file=sys.stderr)
+    print(
+        f"# setup {setup_s:.1f}s (ingest {ingest_s}s, stages {setup_stages}), compiling...",
+        file=sys.stderr,
+    )
 
     # reference-protocol mode sweep (performance.txt / benchmark.json).
     # Each mode individually guarded: one mode crashing must not zero the
@@ -292,6 +313,7 @@ def main() -> None:
                 "steps": steps,
                 "ingest_s": ingest_s,
                 "setup_s": round(setup_s, 1),
+                "setup_stages": setup_stages,
                 **(
                     {
                         "chip_degraded_modes": sorted(degraded_ms),

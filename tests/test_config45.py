@@ -121,3 +121,88 @@ def test_timeseries_playback(grid):
     assert not np.allclose(frames[0][1], frames[1][1])
     player.evict(0)
     assert 0 not in player._device_cache
+
+
+def test_timeseries_over_distributed_mesh():
+    """BASELINE configs[4] composed for real: 4D time-series playback over
+    a DistributedRenderer on the full sp x px x vz = 2x2x2 mesh.
+
+    Two legs: (a) the vz=2 slab-sharded player is BIT-IDENTICAL per
+    timestep to a replicated-volume mesh player with the same sp (pins the
+    slabbed-volume rebuild on timestep swap, parallel/distributed.py
+    _render_grid); (b) it matches the single-chip player's converged
+    accumulation to float tolerance (same estimator, different
+    accumulation order). Eviction is exercised mid-playback.
+    """
+    import jax
+
+    from volxel_tpu.parallel.distributed import DistributedRenderer
+    from volxel_tpu.parallel.mesh import make_mesh
+
+    base = synthetic_ct_volume((24, 16, 16), bits_stored=12).astype(np.float32) / 4095.0
+    vols = np.stack([base * (1.0 - 0.3 * t) for t in range(3)])
+
+    def setup(r):
+        r.restart_from_grid(construct_brick_grid(vols[0]))
+        r.camera.rotate_around_view(0.4, 0.2)
+        r.camera.zoom(2.0)
+        r.settings.bounces = 1
+        return r
+
+    # (a) replicated 4-device mesh vs slab-sharded 8-device mesh, same sp
+    rep = setup(
+        DistributedRenderer(
+            width=16, height=16,
+            mesh=make_mesh(sp=2, px=2, devices=jax.devices()[:4]),
+        )
+    )
+    slab = setup(DistributedRenderer(width=16, height=16, sp=2, px=2, vz=2))
+    rep_frames = dict_frames = None
+    rep_player = TimeSeriesPlayer(rep, vols)
+    slab_player = TimeSeriesPlayer(slab, vols)
+    rep_frames = list(rep_player.play(samples_per_step=2))
+    slab_frames = list(slab_player.play(samples_per_step=2))
+    assert len(rep_frames) == len(slab_frames) == 3
+    for (t0, a), (t1, b) in zip(rep_frames, slab_frames):
+        assert t0 == t1
+        assert np.array_equal(a, b), (
+            f"timestep {t0}: slab-sharded playback differs from replicated "
+            f"(max abs diff {np.abs(a - b).max()})"
+        )
+    # densities change across time -> images must too (stale-slab canary)
+    assert not np.allclose(slab_frames[0][1], slab_frames[2][1])
+
+    # eviction keeps playback working (rebuilds the device buffers)
+    slab_player.evict(0)
+    assert 0 not in slab_player._device_cache
+    slab_player.set_timestep(0)
+    slab.render_frame()
+
+    # (b) the mesh player's accumulation equals the mean of the
+    # single-chip estimator's samples 0..3 per timestep (the single-chip
+    # PLAYER itself replicates the reference's zero-weight warm-up for
+    # the first 5 samples — api/renderer.py sample_weight — so the
+    # comparison target is the raw sample mean, as in test_distributed)
+    import jax.numpy as jnp
+
+    from volxel_tpu.render.pathtrace import render_sample
+
+    single = setup(Renderer(width=16, height=16))
+    single_player = TimeSeriesPlayer(single, vols)
+    slab2 = setup(DistributedRenderer(width=16, height=16, sp=2, px=2, vz=2))
+    slab2_player = TimeSeriesPlayer(slab2, vols)
+    for t in range(3):
+        single_player.set_timestep(t)
+        single.render_frame()  # prime operand cache for this timestep
+        ops = single._cached_operands
+        expect = np.mean(
+            [np.asarray(render_sample(*ops, jnp.uint32(i))) for i in range(4)],
+            axis=0,
+        )
+        slab2_player.set_timestep(t)
+        for _ in range(2):  # 2 steps x sp=2 = samples 0..3
+            slab2.render_frame()
+        np.testing.assert_allclose(
+            np.asarray(slab2._framebuffer), expect, atol=1e-5, rtol=1e-5,
+            err_msg=f"timestep {t}",
+        )

@@ -356,3 +356,58 @@ def test_zip_deflate64_entries():
     )
     grid = read_zip_to_grid(bytes(out) + bytes(central) + eocd)
     assert grid.index_extent[2] >= 8
+
+
+def test_zip_ppmd_entries():
+    """ZIP method 98 (PPMd var.I) entries decode via ingest/ppmd.py —
+    parity with the reference zip crate's ppmd feature (Cargo.toml:30).
+    The resulting grid must equal the one from a stored-method archive
+    of the same slices."""
+    import struct
+    import zlib
+
+    from volxel_tpu.ingest.ppmd import zip_compress
+    from volxel_tpu.ingest.ziploader import read_zip_to_grid
+    from volxel_tpu.utils.fixtures import (
+        synthetic_ct_volume,
+        write_dicom_series,
+        write_dicom_zip,
+    )
+
+    vol = synthetic_ct_volume((8, 16, 16), bits_stored=12)
+    blobs = write_dicom_series(vol, bits_stored=12)
+
+    # hand-roll a zip with method-98 entries (zipfile can't write them)
+    out = bytearray()
+    central = bytearray()
+    offsets = []
+    comps = [zip_compress(blob, order=8, mem_mb=8) for blob in blobs]
+    for i, (blob, comp) in enumerate(zip(blobs, comps)):
+        name = f"series/slice_{i:04d}.dcm".encode()
+        crc = zlib.crc32(blob) & 0xFFFFFFFF
+        offsets.append(len(out))
+        out += b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH", 63, 0, 98, 0, 0, crc, len(comp), len(blob),
+            len(name), 0,
+        ) + name + comp
+    for i, (blob, comp) in enumerate(zip(blobs, comps)):
+        name = f"series/slice_{i:04d}.dcm".encode()
+        crc = zlib.crc32(blob) & 0xFFFFFFFF
+        central += b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII", 63, 63, 0, 98, 0, 0, crc, len(comp),
+            len(blob), len(name), 0, 0, 0, 0, 0, offsets[i],
+        ) + name
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, len(blobs), len(blobs), len(central), len(out), 0
+    )
+    archive = bytes(out) + bytes(central) + eocd
+
+    grid = read_zip_to_grid(archive)
+    ref_grid = read_zip_to_grid(write_dicom_zip(vol, bits_stored=12))
+    assert grid.index_extent == ref_grid.index_extent
+    np.testing.assert_array_equal(
+        np.asarray(grid.atlas), np.asarray(ref_grid.atlas)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(grid.packed_range()), np.asarray(ref_grid.packed_range())
+    )

@@ -174,38 +174,80 @@ def _canonical_decode(stream: bytes, order=6, mem_mb=8, limit=1 << 16):
     return bytes(out), sym
 
 
-CONFORMANT = [
-    b"\x00" * 200,
-    b"aaaaaaaaaaaaaaaaaaaa",
-    b"abracadabra",
-    b"mississippi",
-    bytes(range(256)),
-    bytes(range(256)) * 2,
-]
-
-DIVERGENT_YET = [
-    # long mixed text diverges tens of symbols in, in SEE-statistics
-    # territory (suspect: see_update shift/count mechanics) — the
-    # differential harness (examples/ppmd_differential.py) localizes it
-    b"the quick brown fox jumps over the lazy dog " * 3,
-]
-
-
-@pytest.mark.parametrize("data", CONFORMANT, ids=range(len(CONFORMANT)))
-def test_canonical_decodes_our_streams(data):
-    stream = ppmd.compress(data, order=6, mem_mb=8)
-    got, last = _canonical_decode(stream)
-    assert got == data
-    assert last == -1  # our end marker recognized
+def _mixed_corpus():
+    rng = random.Random(42)
+    words = ["the", "quick", "brown", "fox", "volume", "render", "dicom",
+             "zip", "tpu", "jax", "a", "of", "in", "and", "to"]
+    return {
+        "runs": b"\x00" * 200,
+        "aaa": b"aaaaaaaaaaaaaaaaaaaa",
+        "abracadabra": b"abracadabra",
+        "mississippi": b"mississippi",
+        "byte-range": bytes(range(256)) * 2,
+        "fox-long": b"the quick brown fox jumps over the lazy dog " * 40,
+        "lorem-ish": (" ".join(rng.choice(words) for _ in range(800))).encode(),
+        "binary-rand": bytes(rng.randrange(256) for _ in range(3000)),
+        "binary-skew": bytes(rng.choice(b"\x00\x01\x02\xff") for _ in range(4000)),
+        "runs+text": (b"A" * 300 + b"the fox " * 60 + b"\x00" * 400) * 3,
+        "newlines": b"\n".join(b"line %d: v=%d" % (i, i * i) for i in range(400)),
+    }
 
 
-@pytest.mark.parametrize("data", DIVERGENT_YET, ids=range(len(DIVERGENT_YET)))
-@pytest.mark.xfail(
-    reason="a late SEE-statistics update rule still differs from the "
-    "canonical model on long mixed text; see ingest/ppmd.py docstring",
-    strict=False,
-)
-def test_canonical_decodes_mixed_text(data):
-    stream = ppmd.compress(data, order=6, mem_mb=8)
-    got, last = _canonical_decode(stream)
+@pytest.mark.parametrize("name", sorted(_mixed_corpus()))
+def test_canonical_decodes_our_streams(name):
+    """The canonical Ppmd8 decoder must reproduce our encoder's stream
+    byte-for-byte including the end marker — exercising rescale cascades,
+    SEE statistics, binary-context runs and the update-model grow rules
+    (the five divergences fixed in round 3 were each found by one of
+    these classes; see ingest/ppmd.py docstring)."""
+    data = _mixed_corpus()[name]
+    for order in (2, 6, 16):
+        stream = ppmd.compress(data, order=order, mem_mb=8)
+        got, last = _canonical_decode(stream, order=order, limit=len(data) + 4)
+        assert got == data, f"order {order} diverged"
+        assert last == -1, f"order {order}: end marker not recognized"
+
+
+def _exhausting_data():
+    """High-entropy 16-bit samples that overflow a 1 MiB pool ~3/4 of the
+    way in (verified: 1 encoder restart at this length)."""
+    rng = random.Random(7)
+    data = bytearray()
+    for i in range(40000):
+        v = int(500 + 300 * ((i * 7919) % 97) / 97 + rng.gauss(0, 20))
+        data += max(0, min(65535, v)).to_bytes(2, "little")
+    return bytes(data)
+
+
+def test_canonical_conformance_through_pool_exhaustion(monkeypatch):
+    """A 1 MiB pool on high-entropy 16-bit data forces free-list glue and
+    a full model restart; the canonical decoder must stay in sync through
+    both (pins the GlueFreeBlocks node-stamp implementation)."""
+    data = _exhausting_data()
+    restarts = [0]
+    orig = ppmd._Model.restart
+    monkeypatch.setattr(
+        ppmd._Model, "restart",
+        lambda self: (restarts.__setitem__(0, restarts[0] + 1), orig(self))[1],
+    )
+    stream = ppmd.compress(data, order=6, mem_mb=1)
+    assert restarts[0] >= 2, "test input no longer exhausts the pool"
+    got, last = _canonical_decode(stream, order=6, mem_mb=1, limit=len(data) + 4)
     assert got == data and last == -1
+    assert ppmd.decompress(stream, order=6, mem_mb=1) == data
+
+
+def test_restoration_methods_1_2():
+    """CUT_OFF/FREEZE parameter words decode fine while the pool holds;
+    on exhaustion they raise a typed error instead of diverging."""
+    blob = bytearray(ppmd.zip_compress(b"small payload " * 10, order=6, mem_mb=8))
+    w = int.from_bytes(blob[:2], "little") | (1 << 12)  # claim CUT_OFF
+    blob[:2] = w.to_bytes(2, "little")
+    assert ppmd.zip_decompress(bytes(blob)) == b"small payload " * 10
+
+    big = _exhausting_data()
+    blob = bytearray(ppmd.zip_compress(big, order=6, mem_mb=1))
+    w = int.from_bytes(blob[:2], "little") | (2 << 12)  # claim FREEZE
+    blob[:2] = w.to_bytes(2, "little")
+    with pytest.raises(ppmd.PpmdError, match="restoration"):
+        ppmd.zip_decompress(bytes(blob))

@@ -14,15 +14,17 @@ directly through ctypes (tests/test_ppmd.py).
 Verification status (tests/test_ppmd.py):
   * round-trips: full coverage (all data classes, orders 2..16);
   * canonical conformance: the canonical decoder reproduces our streams
-    byte-for-byte INCLUDING the end marker for repeat-run, byte-range,
-    abracadabra- and mississippi-class inputs — the fresh-symbol
-    suffix-chain update, the s1 pass-through into CreateSuccessors, the
-    walk bump rules, and the rescale 0x04 flag are all canonical now;
-  * known remaining gap: LONG mixed text diverges tens of symbols in,
-    inside SEE-statistics territory (suspect: the see_update
-    shift/count growth rule). Localize with
-    examples/ppmd_differential.py; until it closes, ZIP ingest keeps
-    rejecting method-98 members by name instead of decoding them.
+    byte-for-byte INCLUDING the end marker across every tested data
+    class (text, binary, runs, 16-bit medical-like data, source code),
+    orders 2..16, and small pools that force rescale cascades, free-list
+    glue and full model restarts. The last five divergences were pinned
+    by full-tree differential against libarchive's Ppmd8 plus objdump of
+    its UpdateModel/Rescale/AllocUnitsRare (offsets cited inline):
+    strict > on the 9/12/15*sf thresholds, the one-state rescale
+    collapse formula (2f+esc-1)//esc capped at MAX_FREQ/3 with flags
+    recompute, the one-state grow +1 only when count > 3, the multi grow
+    compare in count-1 form on both sides, prev_success >= (not >), and
+    the canonical glue-free-blocks pass with its node stamps.
 
 Stream format:
   * ZIP method 98 payload = 2-byte LE parameter word + range-coded data:
@@ -30,9 +32,12 @@ Stream format:
     restoration method = w >> 12.
   * End of stream is coded as an escape below the order(-1) root.
 
-Memory-exhaustion restoration: only the RESTART method (0) is
-implemented; our encoder always emits restoration method 0 and sizes
-pools so exhaustion does not occur for data it compresses.
+Memory-exhaustion restoration: the RESTART method (0) is implemented
+(and conformance-tested against pool exhaustion); methods 1/2
+(CUT_OFF/FREEZE) parameter words are accepted and decode identically
+UNTIL the pool first exhausts — at that point a typed error is raised
+instead of diverging from the canonical cut-off/freeze behavior.
+Our encoder always emits restoration method 0.
 """
 
 from __future__ import annotations
@@ -230,14 +235,74 @@ class _Pool:
         self.lo_unit = self.units_start = self.hi_unit - diff
         self.glue_count = 0
 
+    # Free-list node layout (canonical var.I suballocator; disassembly
+    # 0x220dc): stamp 0xFFFFFFFF at +0, next ref at +4, unit count at +8.
+    # The stamp is what GlueFreeBlocks uses to recognize an adjacent free
+    # block, so the layout is load-bearing for conformance.
     def _push(self, ref, indx):
-        self.mem[ref : ref + 4] = self.free_list[indx].to_bytes(4, "little")
+        self.mem[ref : ref + 4] = b"\xff\xff\xff\xff"
+        self.mem[ref + 4 : ref + 8] = self.free_list[indx].to_bytes(4, "little")
+        self.mem[ref + 8 : ref + 12] = I2U[indx].to_bytes(4, "little")
         self.free_list[indx] = ref
 
     def _pop(self, indx):
         ref = self.free_list[indx]
-        self.free_list[indx] = int.from_bytes(self.mem[ref : ref + 4], "little")
+        self.free_list[indx] = int.from_bytes(
+            self.mem[ref + 4 : ref + 8], "little"
+        )
         return ref
+
+    def glue_free_blocks(self):
+        """Merge adjacent free blocks (canonical GlueFreeBlocks, inlined in
+        AllocUnitsRare at 0x221c9): collect every free node list-by-list,
+        absorb address-adjacent free nodes into the first one encountered,
+        then re-insert each glued run back into the free lists in 128-unit
+        chunks plus an index-aligned head/tail split. Resets glue_count to
+        0x2000 (disassembly 0x221f5 — not PPMdI's 255)."""
+        mem = self.mem
+        self.glue_count = 0x2000
+        if self.lo_unit != self.hi_unit:
+            # stamp 0 at LoUnit stops gluing from running into virgin space
+            mem[self.lo_unit : self.lo_unit + 4] = b"\x00\x00\x00\x00"
+
+        def rd32(o):
+            return int.from_bytes(mem[o : o + 4], "little")
+
+        out = []
+        for i in range(N_INDEXES):
+            ref = self.free_list[i]
+            self.free_list[i] = 0
+            while ref:
+                nxt = rd32(ref + 4)
+                nu = rd32(ref + 8)
+                if nu:
+                    out.append(ref)
+                    while True:
+                        adj = ref + nu * UNIT_SIZE
+                        if adj + 12 > self.size or rd32(adj) != 0xFFFFFFFF:
+                            break
+                        anu = rd32(adj + 8)
+                        if anu == 0:
+                            break
+                        nu += anu
+                        mem[adj + 8 : adj + 12] = b"\x00\x00\x00\x00"
+                        mem[ref + 8 : ref + 12] = nu.to_bytes(4, "little")
+                ref = nxt
+        for ref in out:
+            sz = rd32(ref + 8)
+            if sz == 0:
+                continue
+            pos = ref
+            while sz > 128:
+                self._push(pos, N_INDEXES - 1)
+                sz -= 128
+                pos += 128 * UNIT_SIZE
+            i = U2I[sz - 1]
+            if I2U[i] != sz:
+                i -= 1
+                k = sz - I2U[i]
+                self._push(pos + (sz - k) * UNIT_SIZE, k - 1)
+            self._push(pos, i)
 
     def split_block(self, ref, old_indx, new_indx):
         nu = I2U[old_indx] - I2U[new_indx]
@@ -252,9 +317,7 @@ class _Pool:
 
     def alloc_units_rare(self, indx):
         if self.glue_count == 0:
-            self.glue_count = 255
-            # the canonical implementation glues adjacent free blocks
-            # here; our encoder sizes pools so this path stays cold
+            self.glue_free_blocks()
             if self.free_list[indx]:
                 return self._pop(indx)
         i = indx
@@ -327,10 +390,11 @@ class _Model:
     """Shared PPMd var.I model; encoder and decoder drive the identical
     update machinery so both sides evolve the same statistics."""
 
-    def __init__(self, order, mem_bytes):
+    def __init__(self, order, mem_bytes, restore_method=0):
         if not (2 <= order <= MAX_ORDER):
             raise PpmdError(f"unsupported PPMd order {order}")
         self.order = order
+        self.restore_method = restore_method
         self.pool = _Pool(mem_bytes)
         self.see_summ = [[0] * 32 for _ in range(24)]
         self.see_shift = [[0] * 32 for _ in range(24)]
@@ -571,17 +635,24 @@ class _Model:
             new_count = num_stats - i
             self.set_ctx_num_stats(c, new_count - 1)
             if new_count == 1:
+                # modern Ppmd8 collapse: freq = ceil(2*freq / esc_freq),
+                # capped at MAX_FREQ/3; flags keep 0x10 and recompute 0x08
+                # from the surviving symbol (pinned by the differential
+                # harness on rescale-in-run inputs: canon lands exactly on
+                # the 124//3 == 41 cap)
                 tmp = bytearray(self.pool.mem[stats : stats + 6])
-                freq = tmp[1]
-                while True:
-                    freq -= freq >> 1
-                    esc_freq >>= 1
-                    if esc_freq <= 1:
-                        break
+                freq = (2 * tmp[1] + esc_freq - 1) // esc_freq
+                if freq > MAX_FREQ // 3:
+                    freq = MAX_FREQ // 3
                 tmp[1] = freq
                 self.pool.free_units(stats, (num_stats + 1) >> 1)
                 one = self.one_state(c)
                 self.pool.mem[one : one + 6] = tmp
+                self.set_ctx_flags(
+                    c,
+                    (self.ctx_flags(c) & 0x10)
+                    + (0x08 if tmp[0] >= 0x40 else 0),
+                )
                 self.found_state = one
                 return
             n0 = (num_stats + 1) >> 1
@@ -592,6 +663,20 @@ class _Model:
         # canonical marks rescaled contexts; the bit feeds the SEE column
         self.set_ctx_flags(c, self.ctx_flags(c) | 0x04)
         self.found_state = self._stats_addr(c)
+
+    def _exhausted(self):
+        """Pool exhausted mid-update. RESTART (method 0) drops the whole
+        model like the canonical decoder; CUT_OFF/FREEZE streams would
+        need the canonical RestoreModel tree surgery to stay in sync, so
+        they get a typed error instead of a silently divergent decode."""
+        if self.restore_method != 0:
+            raise PpmdError(
+                "PPMd pool exhausted and the stream uses restoration "
+                f"method {self.restore_method} (CUT_OFF/FREEZE), which is "
+                "not supported; re-compress with a larger sub-allocator "
+                "or restoration method 0"
+            )
+        self.restart()
 
     def update_model(self):
         p = self.pool
@@ -624,7 +709,7 @@ class _Model:
         if self.order_fall == 0:
             c = self.create_successors(True, s1=sfx_state)
             if not c:
-                self.restart()
+                self._exhausted()
                 return
             self.min_context = self.max_context = c
             self.set_st_successor(f_state, c)
@@ -634,14 +719,14 @@ class _Model:
         p.text += 1
         successor = p.text
         if p.text >= p.units_start:
-            self.restart()
+            self._exhausted()
             return
 
         if f_successor:
             if f_successor <= p.text:  # points into the text area
                 f_successor = self.create_successors(False, s1=sfx_state)
                 if not f_successor:
-                    self.restart()
+                    self._exhausted()
                     return
             self.order_fall -= 1
             if self.order_fall == 0:
@@ -685,7 +770,7 @@ class _Model:
                     cs = self.create_successors(False, start=c)
                     self.found_state = save
                     if not cs:
-                        self.restart()
+                        self._exhausted()
                         return
                     self.set_st_successor(s, cs)
                     tgt = cs
@@ -706,17 +791,20 @@ class _Model:
                 if (ns1 & 1) == 0:
                     new_stats = p.expand_units(self.ctx_stats(c), ns1 >> 1)
                     if not new_stats:
-                        self.restart()
+                        self._exhausted()
                         return
                     self.set_ctx_stats(c, new_stats)
+                # disassembly 0x2344e: 3*NumStats+1 < NumStats_mc with BOTH
+                # operands in count-1 form, so the right side is ns - 1
                 self.set_ctx_summ_freq(
                     c,
-                    self.ctx_summ_freq(c) + (1 if 3 * (ns1 - 1) + 1 < ns else 0),
+                    self.ctx_summ_freq(c)
+                    + (1 if 3 * (ns1 - 1) + 1 < ns - 1 else 0),
                 )
             else:
                 new_stats = p.alloc_units(0)
                 if not new_stats:
-                    self.restart()
+                    self._exhausted()
                     return
                 self.copy_state(new_stats, self.one_state(c))
                 self.set_ctx_stats(c, new_stats)
@@ -726,8 +814,10 @@ class _Model:
                 else:
                     freq = MAX_FREQ - 4
                 self.set_st_freq(new_stats, freq)
+                # disassembly 0x235e6: cmpl $2 against NumStats (count-1),
+                # seta — i.e. the +1 applies only when count > 3
                 self.set_ctx_summ_freq(
-                    c, freq + self.init_esc + (1 if ns > 2 else 0)
+                    c, freq + self.init_esc + (1 if ns > 3 else 0)
                 )
             cf = 2 * f_freq * (self.ctx_summ_freq(c) + 6)
             sf = s0 + self.ctx_summ_freq(c)
@@ -735,11 +825,13 @@ class _Model:
                 cf = 1 + (1 if cf > sf else 0) + (1 if cf >= 4 * sf else 0)
                 self.set_ctx_summ_freq(c, self.ctx_summ_freq(c) + 4)
             else:
+                # canonical var.I uses STRICT > here (unlike Ppmd7's >=);
+                # pinned by the differential harness at cf == 12*sf
                 cf = (
                     4
-                    + (1 if cf >= 9 * sf else 0)
-                    + (1 if cf >= 12 * sf else 0)
-                    + (1 if cf >= 15 * sf else 0)
+                    + (1 if cf > 9 * sf else 0)
+                    + (1 if cf > 12 * sf else 0)
+                    + (1 if cf > 15 * sf else 0)
                 )
                 self.set_ctx_summ_freq(c, self.ctx_summ_freq(c) + cf)
             s = self._stats_addr(c, ns1)
@@ -774,8 +866,9 @@ class _Model:
         self.next_context()
 
     def update1_0(self, s):
+        # disassembly 0x23a58: setge — 2*freq >= SummFreq (Ppmd7 uses >)
         self.prev_success = (
-            1 if 2 * self.st_freq(s) > self.ctx_summ_freq(self.min_context) else 0
+            1 if 2 * self.st_freq(s) >= self.ctx_summ_freq(self.min_context) else 0
         )
         self.run_length += self.prev_success
         self.set_ctx_summ_freq(self.min_context, self.ctx_summ_freq(self.min_context) + 4)
@@ -1076,10 +1169,16 @@ def compress(data: bytes, order: int = 8, mem_mb: int = 16) -> bytes:
     return rc.flush()
 
 
-def decompress(data: bytes, order: int = 8, mem_mb: int = 16, size: int | None = None) -> bytes:
+def decompress(
+    data: bytes,
+    order: int = 8,
+    mem_mb: int = 16,
+    size: int | None = None,
+    restore_method: int = 0,
+) -> bytes:
     """PPMd var.I decompress (raw stream). Stops at the end marker or
     after `size` bytes when given (ZIP members carry the exact size)."""
-    m = _Model(order, mem_mb << 20)
+    m = _Model(order, mem_mb << 20, restore_method)
     rc = _RangeDecoder(data)
     out = bytearray()
     while size is None or len(out) < size:
@@ -1110,4 +1209,4 @@ def zip_decompress(data: bytes, size: int | None = None) -> bytes:
     restor = w >> 12
     if restor > 2:
         raise PpmdError(f"unknown PPMd restoration method {restor}")
-    return decompress(data[2:], order, mem_mb, size)
+    return decompress(data[2:], order, mem_mb, size, restore_method=restor)

@@ -24,6 +24,7 @@ class ZipIngestError(DicomError):
 
 ZIP_METHOD_DEFLATE64 = 9
 ZIP_METHOD_ZSTD = 93  # APPNOTE 6.3.8; the reference's zip crate enables zstd
+ZIP_METHOD_PPMD = 98  # PPMd var.I; reference Cargo.toml:30 feature "ppmd"
 
 
 def _raw_entry_bytes(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
@@ -40,13 +41,24 @@ def _raw_entry_bytes(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
 
 
 def _read_entry(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
-    """zf.read with zstd (93) and deflate64 (9) fallbacks — the methods
-    the reference's zip crate enables (Cargo.toml:30). Python's zipfile
-    knows stored/deflate/bzip2/lzma only; the raw stream is read from the
-    local header and inflated in-repo (ingest/deflate64.py) or via the
-    zstandard module. PPMd (98) keeps a named error.
+    """zf.read with zstd (93), deflate64 (9) and PPMd (98) fallbacks —
+    the methods the reference's zip crate enables (Cargo.toml:30).
+    Python's zipfile knows stored/deflate/bzip2/lzma only; the raw stream
+    is read from the local header and decoded in-repo
+    (ingest/deflate64.py, ingest/ppmd.py) or via the zstandard module.
     """
-    if info.compress_type == ZIP_METHOD_ZSTD:
+    if info.compress_type == ZIP_METHOD_PPMD:
+        from volxel_tpu.ingest.ppmd import PpmdError, zip_decompress
+
+        try:
+            out = zip_decompress(
+                _raw_entry_bytes(zf, info), size=info.file_size
+            )
+        except PpmdError as e:
+            raise ZipIngestError(
+                f"PPMd entry {info.filename!r}: {e}"
+            ) from e
+    elif info.compress_type == ZIP_METHOD_ZSTD:
         import zstandard
 
         out = zstandard.ZstdDecompressor().decompress(
@@ -65,13 +77,11 @@ def _read_entry(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
         try:
             return zf.read(info)
         except NotImplementedError as e:
-            name = {98: "PPMd"}.get(
-                info.compress_type, f"method {info.compress_type}"
-            )
             raise ZipIngestError(
-                f"ZIP entry {info.filename!r} uses {name}, which has no "
-                "decoder in this environment (supported: stored, deflate, "
-                "bzip2, lzma, zstd, deflate64)"
+                f"ZIP entry {info.filename!r} uses method "
+                f"{info.compress_type}, which has no decoder in this "
+                "environment (supported: stored, deflate, bzip2, lzma, "
+                "zstd, deflate64, ppmd)"
             ) from e
     if len(out) != info.file_size:
         raise ZipIngestError(
