@@ -210,6 +210,38 @@ def test_from_attributes_and_transfer_file(volume, tmp_path):
         r.load_transfer_function("no rows here")
 
 
+def test_from_attributes_benchmark(volume, tmp_path):
+    """benchmark_path mirrors attributeBenchmark (viewer.ts:840-848): the
+    collection runs right after construction and lands on last_benchmark
+    as VolxelBenchmarkResult-shaped records."""
+    import json
+
+    zip_path = tmp_path / "scan.zip"
+    zip_path.write_bytes(write_dicom_zip(volume, bits_stored=12))
+    r0 = Renderer(width=8, height=8)
+    r0.settings.max_samples = 2
+    spec = {
+        "sharedSettings": [r0.export_settings()],
+        "benchmarks": [
+            {"zip": "scan.zip", "renderMode": "raymarch", "settings": 0,
+             "name": "m1"},
+            {"renderMode": "default", "settings": 0, "name": "m2"},
+        ],
+    }
+    bench_path = tmp_path / "benchmark.json"
+    bench_path.write_text(json.dumps(spec))
+
+    r = Renderer.from_attributes(
+        width=8, height=8, zip_path=zip_path, benchmark_path=bench_path
+    )
+    assert len(r.last_benchmark) == 2
+    for rec in r.last_benchmark:
+        assert rec["timePerSample"] > 0
+        assert rec["viewport"] == [0, 0, 8, 8]
+        assert "device" in rec
+    assert [rec["name"] for rec in r.last_benchmark] == ["m1", "m2"]
+
+
 def test_timeseries_from_zips(volume):
     from volxel_tpu.api.timeseries import TimeSeriesPlayer
 

@@ -172,3 +172,63 @@ def test_slab_collective_budget(grid):
     n_allreduce = len(re.findall(r"all-reduce", hlo))
     # sample loop + NEE transmittance loop (+ the sp pmean when sp>1)
     assert 1 <= n_allreduce <= 4, f"collective budget blown: {n_allreduce}"
+
+
+def test_slab_bf16_tap_payload(grid):
+    """Opt-in bf16 density-tap all-reduce: the compiled HLO's all-reduces
+    carry bf16 (half the ICI bytes of the default f32), the collective
+    budget is unchanged, and the rendered image drifts by at most the
+    bf16 quantization of the trilinear taps."""
+    import re
+
+    import jax.numpy as jnp
+
+    from volxel_tpu.api.renderer import Renderer
+    from volxel_tpu.parallel.shard import sharded_render_fn
+
+    r = Renderer(width=16, height=16)
+    r.restart_from_grid(grid)
+    r.camera.zoom(2.0)
+    r.settings.bounces = 1
+    r.render_frame()
+    config, dg, params, lut, env, inv_view, inv_proj, light = r._cached_operands
+
+    mesh = make_mesh(sp=1, px=2, vz=4)
+    stablehlos = {}
+    hlos = {}
+    images = {}
+    for dtype in ("float32", "bfloat16"):
+        fn = sharded_render_fn(config, mesh, slab_axis="vz", tap_dtype=dtype)
+        sv = build_slabbed_volume(dg, mesh, tap_dtype=dtype)
+        args = (sv, params, lut, env, inv_view, inv_proj, light, jnp.uint32(0))
+        lowered = fn.lower(*args)
+        stablehlos[dtype] = lowered.as_text()
+        hlos[dtype] = lowered.compile().as_text()
+        images[dtype] = np.asarray(fn(*args))
+
+    # payload: the bf16 build's density-tap all_reduces carry bf16 in the
+    # lowered IR. (The asserted dtype is what rides the wire on TPU; the
+    # XLA:CPU backend's all-reduce-promotion pass legalizes bf16 reduces
+    # to f32 transport, so the check reads the pre-optimization module.)
+    def tap_reduces(shlo, ty):
+        # lane-shaped (1-D) all_reduces are the density taps; the op's
+        # type signature is a few lines below the op itself (re.S)
+        return len(re.findall(
+            rf'stablehlo\.all_reduce.*?\(tensor<(\d+)x{ty}>\) -> tensor<\1x{ty}>',
+            shlo, re.S))
+
+    assert tap_reduces(stablehlos["bfloat16"], "bf16") >= 1
+    assert tap_reduces(stablehlos["bfloat16"], "f32") == 0
+    assert tap_reduces(stablehlos["float32"], "bf16") == 0
+    assert tap_reduces(stablehlos["float32"], "f32") >= 1
+    # budget unchanged (one all-reduce per traversal loop)
+    for dtype in hlos:
+        n = len(re.findall(r"all-reduce", hlos[dtype]))
+        assert 1 <= n <= 4, f"{dtype}: collective budget blown: {n}"
+    # drift bound: bf16 has 8 mantissa bits; accumulated through the
+    # estimator a generous envelope is ~1e-1 absolute on radiance while
+    # images must still be materially the same picture
+    diff = np.abs(images["bfloat16"] - images["float32"])
+    assert np.isfinite(images["bfloat16"]).all()
+    assert diff.max() < 0.1, f"bf16 tap drift too large: {diff.max()}"
+    assert np.mean(diff) < 5e-3

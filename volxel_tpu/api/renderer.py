@@ -91,11 +91,16 @@ class Renderer:
         settings_path=None,
         env_path=None,
         render_mode: str | None = None,
+        benchmark_path=None,
     ) -> "Renderer":
         """Declarative construction — the embed-attribute contract
         (data-zip-url / data-urls / data-settings-url / data-env-url /
-        data-render-mode, viewer.ts:112, index.html:24-33), with local
-        paths in place of URLs."""
+        data-render-mode / data-benchmark-url, viewer.ts:112,
+        index.html:24-33), with local paths in place of URLs.
+
+        `benchmark_path` mirrors `attributeBenchmark` (viewer.ts:840-848):
+        after construction the benchmark collection is run immediately and
+        the results are stored on the renderer as `last_benchmark`."""
         from pathlib import Path
 
         r = cls(width=width, height=height)
@@ -112,6 +117,21 @@ class Renderer:
             r.restore_settings(load_settings(Path(settings_path)))
         if render_mode is not None:
             r.render_mode = render_mode
+        if benchmark_path is not None:
+            import json
+
+            from volxel_tpu.api.benchmark import run_benchmark_collection
+
+            spec = json.loads(Path(benchmark_path).read_text())
+            base = Path(benchmark_path).parent
+
+            def _load(rel):
+                p = base / rel
+                return p.read_bytes() if p.exists() else None
+
+            r.last_benchmark = run_benchmark_collection(
+                spec, r, load_zip=_load, load_env=_load
+            )
         return r
 
     # -- volume loading (viewer.ts:963-1017, 1080-1145) ------------------------

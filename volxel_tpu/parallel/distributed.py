@@ -31,12 +31,18 @@ class DistributedRenderer(Renderer):
         sp: int = 1,
         px: int | None = None,
         vz: int = 1,
+        vz_tap_dtype: str = "float32",
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
         self.mesh = mesh if mesh is not None else make_mesh(sp=sp, px=px, vz=vz)
         self.sp = self.mesh.shape["sp"]
         self.vz = self.mesh.shape.get("vz", 1)
+        # "bfloat16" halves the vz density-tap all-reduce payload (the one
+        # expensive collective in the slab design, ~330 MB/1080p sample at
+        # f32 — NOTES.md) for ~2^-8 relative image drift; default keeps
+        # bit-identity with single-chip renders.
+        self.vz_tap_dtype = vz_tap_dtype
         self._slabbed = None
 
     def _render_grid(self):
@@ -46,7 +52,9 @@ class DistributedRenderer(Renderer):
         if self._slabbed is None or self._slabbed.meta.extent is not self._device_grid.extent:
             from volxel_tpu.parallel.volshard import build_slabbed_volume
 
-            self._slabbed = build_slabbed_volume(self._device_grid, self.mesh)
+            self._slabbed = build_slabbed_volume(
+                self._device_grid, self.mesh, tap_dtype=self.vz_tap_dtype
+            )
         return self._slabbed
 
     def render_frame(self):

@@ -28,7 +28,10 @@ from volxel_tpu.render.pathtrace import RenderConfig, render_pixels
 
 
 def sharded_render_fn(
-    config: RenderConfig, mesh: Mesh, slab_axis: str | None = None
+    config: RenderConfig,
+    mesh: Mesh,
+    slab_axis: str | None = None,
+    tap_dtype: str = "float32",
 ):
     """Build a jitted sharded render: (operands..., frame_index) -> (n, 3).
 
@@ -80,7 +83,9 @@ def sharded_render_fn(
     if slab:
         from volxel_tpu.parallel.volshard import SlabbedVolume
 
-        grid_spec = SlabbedVolume(P(slab_axis, None, None), P(), slab_axis)
+        grid_spec = SlabbedVolume(
+            P(slab_axis, None, None), P(), slab_axis, tap_dtype
+        )
     else:
         grid_spec = P()
     mapped = shard_map(
@@ -113,7 +118,8 @@ def render_sample_sharded(
     from volxel_tpu.parallel.volshard import SlabbedVolume
 
     slab_axis = grid.axis if isinstance(grid, SlabbedVolume) else None
-    fn = _cached_sharded_fn(config, mesh, slab_axis)
+    tap_dtype = grid.tap_dtype if isinstance(grid, SlabbedVolume) else "float32"
+    fn = _cached_sharded_fn(config, mesh, slab_axis, tap_dtype)
     return fn(grid, params, lut, env, inv_view, inv_proj, light_dir, frame_index)
 
 
@@ -121,14 +127,18 @@ _FN_CACHE: dict = {}
 
 
 def _cached_sharded_fn(
-    config: RenderConfig, mesh: Mesh, slab_axis: str | None = None
+    config: RenderConfig,
+    mesh: Mesh,
+    slab_axis: str | None = None,
+    tap_dtype: str = "float32",
 ):
     key = (
         config,
         tuple(d.id for d in mesh.devices.flat),
         mesh.shape["sp"],
         slab_axis,
+        tap_dtype,
     )
     if key not in _FN_CACHE:
-        _FN_CACHE[key] = sharded_render_fn(config, mesh, slab_axis)
+        _FN_CACHE[key] = sharded_render_fn(config, mesh, slab_axis, tap_dtype)
     return _FN_CACHE[key]

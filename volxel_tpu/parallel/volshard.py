@@ -39,21 +39,25 @@ class SlabbedVolume:
     Registered as a pytree so it can flow through shard_map operand lists.
     """
 
-    def __init__(self, dense_halo, meta: DeviceGrid, axis: str):
+    def __init__(self, dense_halo, meta: DeviceGrid, axis: str,
+                 tap_dtype: str = "float32"):
         self.dense_halo = dense_halo
         self.meta = meta
         self.axis = axis
+        self.tap_dtype = tap_dtype
 
     def tree_flatten(self):
-        return (self.dense_halo, self.meta), self.axis
+        return (self.dense_halo, self.meta), (self.axis, self.tap_dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, axis=aux)
+        return cls(*children, axis=aux[0], tap_dtype=aux[1])
 
     def in_spec(self):
         """shard_map in_spec pytree: dense sharded over axis, meta replicated."""
-        return SlabbedVolume(P(self.axis, None, None), P(), self.axis)
+        return SlabbedVolume(
+            P(self.axis, None, None), P(), self.axis, self.tap_dtype
+        )
 
     def local_grid(self) -> SlabGrid:
         """Per-device view (call inside shard_map): the SlabGrid lookups use."""
@@ -62,6 +66,7 @@ class SlabbedVolume:
             maj_mips=self.meta.maj_mips,
             extent=self.meta.extent,
             axis=self.axis,
+            tap_dtype=self.tap_dtype,
         )
 
 
@@ -77,12 +82,14 @@ def _exchange(local, axis):
 
 
 def build_slabbed_volume(
-    grid: DeviceGrid, mesh: Mesh, axis: str = "vz"
+    grid: DeviceGrid, mesh: Mesh, axis: str = "vz", tap_dtype: str = "float32"
 ) -> SlabbedVolume:
     """Shard a DeviceGrid's dense field into halo'd z-slabs over `axis`.
 
     One jitted shard_map does the halo exchange on-device (ppermute over
     ICI); the result stays resident, sharded, for all subsequent frames.
+    `tap_dtype="bfloat16"` opts into half-payload density-tap all-reduces
+    (see SlabGrid.tap_dtype; off by default to preserve bit-identity).
     """
     if grid.dense is None:
         raise ValueError(
@@ -108,4 +115,4 @@ def build_slabbed_volume(
     )
     dense_halo = jax.jit(fn)(dense)
     meta = grid._replace(dense=None)
-    return SlabbedVolume(dense_halo, meta, axis)
+    return SlabbedVolume(dense_halo, meta, axis, tap_dtype)

@@ -137,18 +137,25 @@ class SlabGrid:
     Only valid inside shard_map over a mesh containing `axis`.
     """
 
-    def __init__(self, dense_local, maj_mips, extent, axis: str):
+    def __init__(self, dense_local, maj_mips, extent, axis: str,
+                 tap_dtype: str = "float32"):
         self.dense_local = dense_local  # (slab_z + 2*SLAB_HALO, Y, X) bf16
         self.maj_mips = maj_mips  # replicated — same layout as DeviceGrid
         self.extent = extent  # replicated (3,) int32 (x, y, z)
         self.axis = axis  # mesh axis name (static)
+        # "bfloat16" halves the per-tap all-reduce payload over ICI at the
+        # cost of ~2^-8 relative drift on trilinear taps (integer taps stay
+        # exact: the dense field is bf16, so a single owner's value
+        # round-trips). Off by default to preserve bit-identity.
+        self.tap_dtype = tap_dtype
 
     def tree_flatten(self):
-        return (self.dense_local, self.maj_mips, self.extent), self.axis
+        return (self.dense_local, self.maj_mips, self.extent), (
+            self.axis, self.tap_dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, axis=aux)
+        return cls(*children, axis=aux[0], tap_dtype=aux[1])
 
 
 SLAB_HALO = 2  # dilation half-width (brick.rs:101-103)
@@ -173,13 +180,23 @@ def _slab_local_tap(grid: SlabGrid, z0, iipos):
     return jnp.where(inside, value, 0.0)
 
 
+def _slab_psum(grid: SlabGrid, masked):
+    """All-reduce an owner-masked per-lane tap over the slab axis, in
+    f32 (default, bit-identical) or bf16 (opt-in, half the ICI bytes)."""
+    if grid.tap_dtype == "bfloat16":
+        return jax.lax.psum(
+            masked.astype(jnp.bfloat16), grid.axis
+        ).astype(jnp.float32)
+    return jax.lax.psum(masked, grid.axis)
+
+
 def _slab_density_int(grid: SlabGrid, iipos):
     """Sharded single-tap lookup: owner = device whose slab holds the tap z."""
     z0, slab_z = _slab_z0(grid)
     z = iipos[..., 2]
     own = (z >= z0) & (z < z0 + slab_z)
     value = _slab_local_tap(grid, z0, iipos)
-    return jax.lax.psum(jnp.where(own, value, 0.0), grid.axis)
+    return _slab_psum(grid, jnp.where(own, value, 0.0))
 
 
 def _slab_density_trilinear(grid: SlabGrid, params: "VolumeParams", ipos):
@@ -195,9 +212,7 @@ def _slab_density_trilinear(grid: SlabGrid, params: "VolumeParams", ipos):
     acc = _trilinear_acc(
         ipos, lambda tap: _slab_local_tap(grid, z0, tap)
     )
-    return params.density_scale * jax.lax.psum(
-        jnp.where(own, acc, 0.0), grid.axis
-    )
+    return params.density_scale * _slab_psum(grid, jnp.where(own, acc, 0.0))
 
 
 class VolumeParams(NamedTuple):
