@@ -1,0 +1,170 @@
+"""Large-scene statistical parity (VERDICT r2 weakness 6).
+
+The ulp-level oracle tests (test_parity_oracle.py) pin op-level parity at
+16x16 @ 32^3. This module pins the CONVERGED picture at representative
+scale — 64x64 @ 128^3, 101 progressive samples — where accumulation-order
+and wavefront-chunking effects would surface:
+
+  1. the renderer's accumulated framebuffer equals the plain mean of its
+     own per-sample images (accumulate_progressive + chunking vs naive
+     numpy accumulation);
+  2. the two global-majorant estimators (no_dda delta tracking, raymarch
+     fixed-step) agree tightly (measured: corr 0.982, global means within
+     1.8%), while the default DDA mode sits in a measured +20-30% band
+     above them. That bright bias is the REFERENCE'S OWN (faithfully
+     replicated, ulp-pinned by test_parity_oracle): dda.glsl:36 scales
+     the brick majorant by transfer(brick_max_density).alpha, which with
+     a non-monotone transfer alpha (the benchmark ramp: 0.54 -> 1.0 ->
+     0.17) UNDERESTIMATES the true alpha bound inside the brick, clipping
+     real-collision probabilities. The band is asserted as a canary: if
+     default converges to no_dda the quirk replication broke, if it blows
+     past the band something new is wrong;
+  3. the wavefront mean equals the scalar GLSL-oracle mean over the same
+     frames on a strided pixel subset (the full oracle at this scale is
+     scalar Python and would take tens of minutes).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from volxel_tpu import Renderer
+from volxel_tpu.grid import construct_brick_grid
+from volxel_tpu.render.pathtrace import render_sample
+from volxel_tpu.render.sampling import device_grid_from_brick
+from volxel_tpu.utils.fixtures import synthetic_ct_volume
+
+from .oracle import Oracle
+
+FIXTURE = Path(__file__).parent / "fixtures" / "reference_benchmark.json"
+
+W, H = 64, 64
+VOL = 128
+SAMPLES = 101  # frames 5..100 accumulate (warm-up excluded on both sides)
+WARMUP = 5
+
+
+@pytest.fixture(scope="module")
+def scene_grid():
+    vol = synthetic_ct_volume((VOL, VOL, VOL), bits_stored=12)
+    return construct_brick_grid(
+        vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
+    )
+
+
+def _renderer(scene_grid, mode: str) -> Renderer:
+    r = Renderer(width=W, height=H)
+    r.restart_from_grid(scene_grid)
+    # brick-atlas decode chain shared with the oracle (ulp comparability)
+    r._device_grid = device_grid_from_brick(scene_grid, dense=False)
+    r.restore_settings(json.loads(FIXTURE.read_text())["sharedSettings"][0])
+    r.settings.resolution_factor = 1.0
+    r.render_mode = mode
+    return r
+
+
+@pytest.fixture(scope="module")
+def mode_stats(scene_grid):
+    """Per mode: (renderer_framebuffer, manual mean, per-pixel variance of
+    the sample mean), over frames WARMUP..SAMPLES-1."""
+    out = {}
+    for mode in ("default", "no_dda", "raymarch"):
+        r = _renderer(scene_grid, mode)
+        r.render_frame()  # prime operand cache (frame 0)
+        ops = r._cached_operands
+        s1 = np.zeros((W * H, 3), np.float64)
+        s2 = np.zeros((W * H, 3), np.float64)
+        n = 0
+        for fi in range(WARMUP, SAMPLES):
+            sample = np.asarray(render_sample(*ops, jnp.uint32(fi)), np.float64)
+            s1 += sample
+            s2 += sample * sample
+            n += 1
+        mean = s1 / n
+        var = np.maximum(s2 / n - mean * mean, 0.0)
+        # renderer's own accumulation over the same frames
+        r.restart_rendering()
+        for _ in range(SAMPLES):
+            r.render_frame()
+        out[mode] = (np.asarray(r._framebuffer, np.float64), mean, var / n)
+    return out
+
+
+def test_accumulation_matches_sample_mean(mode_stats):
+    """accumulate_progressive + chunked wavefront == naive numpy mean of
+    the same samples: pins accumulation order/weighting at scale."""
+    for mode, (fb, mean, _) in mode_stats.items():
+        diff = np.abs(fb - mean)
+        rel = diff / (np.abs(mean) + 1e-4)
+        assert float(np.median(rel)) < 1e-5, f"{mode}: systematic drift"
+        assert rel.max() < 1e-3, (
+            f"{mode}: accumulated framebuffer diverges from sample mean "
+            f"(max rel {rel.max():.2e})"
+        )
+
+
+def test_modes_agree_statistically(mode_stats):
+    """See module docstring item 2: the global-majorant pair must agree
+    tightly; the default DDA mode sits in the reference's measured
+    bright-bias band (non-monotone-transfer majorant clipping,
+    dda.glsl:36). Measured round 4: corr(no_dda, raymarch)=0.982,
+    means 0.1093/0.1113; default 0.1375 (+26% over no_dda),
+    corr(default, no_dda)=0.966."""
+    _, mean_d, varm_d = mode_stats["default"]
+    _, mean_n, varm_n = mode_stats["no_dda"]
+    _, mean_r, varm_r = mode_stats["raymarch"]
+
+    # the two global-majorant estimators: same integral, tight agreement
+    corr_nr = np.corrcoef(mean_n.ravel(), mean_r.ravel())[0, 1]
+    assert corr_nr > 0.97, f"no_dda vs raymarch decorrelated: {corr_nr:.4f}"
+    assert abs(mean_r.mean() - mean_n.mean()) < 0.06 * mean_n.mean(), (
+        f"no_dda/raymarch means diverged: {mean_n.mean():.4f} vs "
+        f"{mean_r.mean():.4f}"
+    )
+
+    # default: same picture (high correlation)...
+    corr_dn = np.corrcoef(mean_d.ravel(), mean_n.ravel())[0, 1]
+    assert corr_dn > 0.93, f"default decorrelated from no_dda: {corr_dn:.4f}"
+    # ...in the reference's measured bright-bias band (canary both ways)
+    ratio = mean_d.mean() / mean_n.mean()
+    assert 1.05 < ratio < 1.6, (
+        f"default/no_dda mean ratio {ratio:.3f} left the reference's "
+        "majorant-clipping band [1.05, 1.6] — either the quirk "
+        "replication broke (ratio ~1) or something new is biased"
+    )
+
+
+def test_converged_mean_matches_oracle(scene_grid, mode_stats):
+    """Wavefront converged mean == scalar GLSL-oracle mean over the same
+    frames, on a strided pixel subset (every 9th pixel diagonal-strided,
+    49 pixels). Catches any scale-dependent divergence the 16x16 oracle
+    test cannot (mip depth, larger DDA spans, 128^3 brick indirection)."""
+    _, mean_d, varm_d = mode_stats["default"]
+    r = _renderer(scene_grid, "default")
+    oracle = Oracle(r)
+
+    pixels = [(px, py) for py in range(3, H, 9) for px in range(3, W, 9)]
+    acc = {p: np.zeros(3, np.float64) for p in pixels}
+    n = 0
+    for frame in range(WARMUP, SAMPLES):
+        for p in pixels:
+            acc[p] += oracle.render_sample(p[0], p[1], frame)
+        n += 1
+
+    rels = []
+    for (px, py) in pixels:
+        o = acc[(px, py)] / n
+        w = mean_d[py * W + px]
+        rels.append(np.abs(w - o).max() / (np.abs(o).max() + 1e-3))
+    rels = np.array(rels)
+    frac_tight = float((rels < 1e-3).mean())
+    assert frac_tight > 0.9, (
+        f"only {frac_tight:.0%} of probe pixels match the oracle within "
+        f"0.1% at converged scale (max rel {rels.max():.2e})"
+    )
+    assert float(np.median(rels)) < 1e-4, "systematic drift vs oracle"

@@ -243,3 +243,44 @@ def test_settings_roundtrip_full_transfer(grid):
     assert r2._transfer_type == "full"
     np.testing.assert_allclose(np.asarray(r2._lut), np.asarray(rows), atol=1e-6)
     r2.render_frame()
+
+
+def test_bf16_majorant_statistical_agreement():
+    """Opt-in bf16 majorant pyramid (rounded up, still a valid bound):
+    the estimator stays unbiased, so converged means must agree with the
+    f32-pyramid render within MC noise; and the pyramid must still
+    dominate the f32 one pointwise (conservativeness)."""
+    import jax.numpy as jnp
+
+    from volxel_tpu.api.renderer import Renderer
+    from volxel_tpu.render.pathtrace import render_sample
+    from volxel_tpu.render.sampling import device_grid_from_brick
+    from volxel_tpu.utils.fixtures import synthetic_ct_volume
+
+    vol = synthetic_ct_volume((24, 24, 24), bits_stored=12)
+    grid = construct_brick_grid(
+        vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
+    )
+    stats = {}
+    for maj_dtype in ("float32", "bfloat16"):
+        r = Renderer(width=16, height=16)
+        r.restart_from_grid(grid)
+        r._device_grid = device_grid_from_brick(grid, maj_dtype=maj_dtype)
+        r.camera.rotate_around_view(0.4, 0.2)
+        r.camera.zoom(2.0)
+        r.settings.bounces = 1
+        r.render_frame()
+        ops = r._cached_operands
+        samples = np.stack([
+            np.asarray(render_sample(*ops, jnp.uint32(i))) for i in range(48)
+        ])
+        stats[maj_dtype] = (samples.mean(0), samples.var(0) / len(samples))
+    mean_f, varm_f = stats["float32"]
+    mean_b, varm_b = stats["bfloat16"]
+    se = np.sqrt(varm_f + varm_b)
+    z = np.abs(mean_f - mean_b) / np.maximum(se, 1e-6)
+    frac_ok = float((z.max(axis=-1) < 5.0).mean())
+    assert frac_ok > 0.98, f"bf16 majorant biased the estimator (max z {z.max():.1f})"
+    assert abs(mean_f.mean() - mean_b.mean()) < 4 * np.sqrt(
+        (varm_f.mean() + varm_b.mean()) / mean_f.size
+    ) + 1e-4

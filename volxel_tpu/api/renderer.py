@@ -51,10 +51,16 @@ class Renderer:
         self,
         width: int = 1920,
         height: int = 1080,
+        maj_dtype: str = "float32",
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
         self.height = int(height)
+        # "bfloat16": store the majorant pyramid in bf16 (rounded up —
+        # still a valid bound); halves the hot per-DDA-step gather
+        # traffic. Statistically identical, not bit-identical (see
+        # device_grid_from_brick), so opt-in.
+        self.maj_dtype = maj_dtype
         self.settings = settings or ViewerSettings()
 
         self.camera = Camera(1.0)
@@ -158,7 +164,9 @@ class Renderer:
         self.settings.volume_clip_max = [1.0, 1.0, 1.0]
         self.volume = Volume.from_grid(grid)
         self.density_scale *= self.volume.rescale_to_unit_cube()
-        self._device_grid = device_grid_from_brick(grid)
+        self._device_grid = device_grid_from_brick(
+            grid, maj_dtype=self.maj_dtype
+        )
         self.restart_rendering()
 
     def restart_from_files(self, sources: list) -> None:

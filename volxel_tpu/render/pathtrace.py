@@ -67,6 +67,53 @@ class RenderConfig(NamedTuple):
     # lax.maps the trace over coherent pixel blocks, letting each block
     # exit at its local maximum instead. None = single wavefront.
     chunk_size: int | None = None
+    # perf candidate (NOTES "Round-2 perf candidates" item 1): stable-sort
+    # secondary rays (NEE shadow rays; bounce>=2 extension rays) so live
+    # lanes occupy a prefix, and when they fit in half the wavefront run
+    # the traversal loop at half vector width (lax.cond picks the branch
+    # at runtime). Per-lane RNG state travels with its lane, so renders
+    # stay bit-identical. Off by default pending the hardware A/B.
+    compact_secondary: bool = False
+
+
+def _compacted_secondary(fn, n_fill, valid, lane_arrays, fill_values):
+    """Run `fn(*lane_arrays_prefix, valid_prefix)` at half width when the
+    live lanes fit there; otherwise full width. Lanes are stable-sorted so
+    live ones form a prefix; outputs are scattered back to lane order.
+
+    fn: (*per_lane_arrays, valid) -> (state, *outputs)  — all per-lane.
+    n_fill: per-output fill for the untraversed dead half (state is
+    passed through untouched and needs no fill).
+    """
+    n = valid.shape[0]
+    half = n // 2
+    order = jnp.argsort(~valid, stable=True)  # live lanes first
+    inv = jnp.argsort(order, stable=True)
+    perm = [a[order] for a in lane_arrays]
+    v_p = valid[order]
+
+    def half_case(args):
+        arrs, v = args
+        out = fn(*[a[:half] for a in arrs], v[:half])
+        state_half, rest = out[0], out[1:]
+        state_full = jnp.concatenate([state_half, arrs[n_fill][half:]], axis=0)
+        filled = [
+            jnp.concatenate(
+                [r, jnp.broadcast_to(f, (n - half,) + r.shape[1:]).astype(r.dtype)],
+                axis=0,
+            )
+            for r, f in zip(rest, fill_values)
+        ]
+        return (state_full, *filled)
+
+    def full_case(args):
+        arrs, v = args
+        return fn(*arrs, v)
+
+    out = jax.lax.cond(
+        2 * jnp.sum(valid) <= n, half_case, full_case, (perm, v_p)
+    )
+    return tuple(o[inv] for o in out)
 
 
 def trace_path(
@@ -97,10 +144,20 @@ def trace_path(
             return lookup_environment(env, directions)
         return lookup_environment_light(env, directions, light_dir)
 
-    for _ in range(config.bounces):
-        state, hit, t, rgb, le_add = sample_volume(
-            grid, params, lut, origin, direction, state, active
-        )
+    for bounce in range(config.bounces):
+        if config.compact_secondary and bounce > 0:
+            # extension rays: most lanes are dead after bounce 1
+            state, hit, t, rgb, le_add = _compacted_secondary(
+                lambda o, d, st, a: sample_volume(grid, params, lut, o, d, st, a),
+                2,  # state is lane_arrays[2]
+                active,
+                (origin, direction, state),
+                (False, 0.0, 1.0, 0.0),
+            )
+        else:
+            state, hit, t, rgb, le_add = sample_volume(
+                grid, params, lut, origin, direction, state, active
+            )
         hit = hit & active
         miss = active & ~hit
         radiance = radiance + le_add
@@ -144,7 +201,18 @@ def trace_path(
             if config.show_environment
             else jnp.ones((n,), jnp.float32)
         )
-        state, tr = transmittance(grid, params, lut, origin, w_i, state, valid_nee)
+        if config.compact_secondary:
+            state, tr = _compacted_secondary(
+                lambda o, w, st, v: transmittance(grid, params, lut, o, w, st, v),
+                2,
+                valid_nee,
+                (origin, w_i, state),
+                (0.0,),
+            )
+        else:
+            state, tr = transmittance(
+                grid, params, lut, origin, w_i, state, valid_nee
+            )
         radiance = radiance + jnp.where(
             valid_nee[..., None],
             throughput
