@@ -284,3 +284,53 @@ def test_bf16_majorant_statistical_agreement():
     assert abs(mean_f.mean() - mean_b.mean()) < 4 * np.sqrt(
         (varm_f.mean() + varm_b.mean()) / mean_f.size
     ) + 1e-4
+
+
+def test_physical_majorant_fixes_dda_bright_bias():
+    """The physical_majorant extension (prefix-max alpha envelope,
+    modes._majorant_alpha): with the benchmark's NON-monotone transfer
+    ramp the reference's majorant rule clips real-collision
+    probabilities and the default mode renders systematically bright vs
+    no_dda (test_parity_large.py measured +26% at 128^3). The envelope
+    must remove most of that gap while staying a valid bound."""
+    import json
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from volxel_tpu.render.pathtrace import render_sample
+
+    fixture = Path(__file__).parent / "fixtures" / "reference_benchmark.json"
+    vol = synthetic_ct_volume((64, 64, 64), bits_stored=12)
+    big_grid = construct_brick_grid(
+        vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
+    )
+
+    means = {}
+    for tag, mode, pm in (
+        ("plain", "default", False),
+        ("envelope", "default", True),
+        ("no_dda", "no_dda", False),
+    ):
+        r = Renderer(width=32, height=32)
+        r.restart_from_grid(big_grid)
+        r.restore_settings(json.loads(fixture.read_text())["sharedSettings"][0])
+        r.settings.resolution_factor = 1.0
+        r.render_mode = mode
+        r.settings.physical_majorant = pm
+        r.render_frame()
+        ops = r._cached_operands
+        acc = np.zeros((32 * 32, 3))
+        n = 48
+        for i in range(n):
+            acc += np.asarray(render_sample(*ops, jnp.uint32(i)), np.float64)
+        means[tag] = acc / n
+
+    gap_plain = abs(means["plain"].mean() - means["no_dda"].mean())
+    gap_env = abs(means["envelope"].mean() - means["no_dda"].mean())
+    # the clipping bias must exist on this scene (canary) ...
+    assert gap_plain > 0.02 * means["no_dda"].mean()
+    # ... and the envelope must remove most of it
+    assert gap_env < 0.5 * gap_plain, (
+        f"envelope left {gap_env:.4f} of a {gap_plain:.4f} gap"
+    )

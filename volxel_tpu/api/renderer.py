@@ -283,6 +283,7 @@ class Renderer:
             debug_hits=bool(self.settings.debug_hits),
             gradient_shading=bool(self.settings.gradient_shading),
             physical_shadows=bool(self.settings.physical_shadows),
+            physical_majorant=bool(self.settings.physical_majorant),
             physical_pdf=bool(self.settings.physical_pdf),
         )
 

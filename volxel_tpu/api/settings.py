@@ -54,6 +54,7 @@ class ViewerSettings:
     # extension: unbiased ratio-tracking shadow transmittance (soft
     # shadows) instead of the reference's binary-shadow quirk
     physical_shadows: bool = False
+    physical_majorant: bool = False
     # extension: true equirect solid-angle env pdf on both MIS sides
     # (consistent NEE estimator) instead of the reference's 1/(4*pi)
     physical_pdf: bool = False

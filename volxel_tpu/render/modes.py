@@ -78,8 +78,33 @@ def _round_mip(mip):
 # ---------------------------------------------------------------------------
 
 
+def _majorant_alpha(lut, sample_range, norm_density, envelope: bool):
+    """Alpha factor for the brick majorant.
+
+    envelope=False: the reference's rule — transfer(max_density).alpha
+    (dda.glsl:36). With a NON-monotone transfer alpha this can
+    UNDERESTIMATE the true bound over the brick's densities, clipping the
+    real-collision probability (measured ~26% bright on the benchmark
+    ramp at 128^3, tests/test_parity_large.py).
+
+    envelope=True (physical_majorant extension): prefix-max of the
+    range-masked LUT alpha — a true upper bound of alpha(d) for every
+    d <= max_density, restoring unbiasedness while keeping empty-space
+    skipping (bins below sample_range still give 0).
+    """
+    if not envelope:
+        return lookup_transfer(lut, sample_range, norm_density)[..., 3]
+    k = lut.shape[0]
+    edges = jnp.arange(k, dtype=jnp.float32) / k
+    overlap = (edges + 1.0 / k > sample_range[0]) & (edges <= sample_range[1])
+    env = jax.lax.cummax(jnp.where(overlap, lut[:, 3], 0.0))
+    idx = jnp.clip(jnp.floor(norm_density * k).astype(jnp.int32), 0, k - 1)
+    return jnp.where(norm_density < sample_range[0], 0.0, env[idx])
+
+
 def sample_volume_dda(
-    grid, params, lut, origin, direction, state, active, with_stats: bool = False
+    grid, params, lut, origin, direction, state, active,
+    majorant_envelope: bool = False, with_stats: bool = False,
 ):
     """Two-phase DDA distance sampling (dda.glsl:65-98).
 
@@ -150,11 +175,11 @@ def sample_volume_dda(
             mip_i = _round_mip(mip)
             curr = ipos + t[..., None] * idir
             maj_density = lookup_majorant(grid, params, curr, mip_i)
-            majorant = (
-                params.vol_maj
-                * lookup_transfer(
-                    lut, params.sample_range, maj_density * params.inv_maj
-                )[..., 3]
+            majorant = params.vol_maj * _majorant_alpha(
+                lut,
+                params.sample_range,
+                maj_density * params.inv_maj,
+                majorant_envelope,
             )
             dt = _step_dda(curr, ri, mip_i)
             t_new = t + dt
@@ -237,6 +262,7 @@ def transmittance_dda(
     state,
     active,
     physical: bool = False,
+    majorant_envelope: bool = False,
     with_stats: bool = False,
 ):
     hit_box, near, far = ray_box_intersection(
@@ -293,11 +319,11 @@ def transmittance_dda(
             mip_i = _round_mip(mip)
             curr = ipos + t[..., None] * idir
             maj_density = lookup_majorant(grid, params, curr, mip_i)
-            majorant = (
-                params.vol_maj
-                * lookup_transfer(
-                    lut, params.sample_range, maj_density * params.inv_maj
-                )[..., 3]
+            majorant = params.vol_maj * _majorant_alpha(
+                lut,
+                params.sample_range,
+                maj_density * params.inv_maj,
+                majorant_envelope,
             )
             dt = _step_dda(curr, ri, mip_i)
             t_new = t + dt
@@ -603,11 +629,26 @@ MODE_FUNCTIONS = {
 }
 
 
-def get_mode_functions(mode: str, physical_shadows: bool = False):
-    """Mode dispatch with the optional physical-transmittance extension."""
+def get_mode_functions(
+    mode: str,
+    physical_shadows: bool = False,
+    physical_majorant: bool = False,
+):
+    """Mode dispatch with the optional physical-transmittance and
+    physical-majorant extensions (both default-mode only — the other
+    modes use the global majorant and need neither)."""
     import functools
 
     sample_volume, transmittance = MODE_FUNCTIONS[mode]
-    if physical_shadows and mode == "default":
-        transmittance = functools.partial(transmittance_dda, physical=True)
+    if mode == "default":
+        if physical_majorant:
+            sample_volume = functools.partial(
+                sample_volume_dda, majorant_envelope=True
+            )
+        if physical_shadows or physical_majorant:
+            transmittance = functools.partial(
+                transmittance_dda,
+                physical=physical_shadows,
+                majorant_envelope=physical_majorant,
+            )
     return sample_volume, transmittance

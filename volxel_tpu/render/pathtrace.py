@@ -62,6 +62,10 @@ class RenderConfig(NamedTuple):
     # extension: true equirect solid-angle env pdf on both MIS sides
     # instead of the reference's 1/(4*pi) texel mass (scene.environment)
     physical_pdf: bool = False
+    # extension: prefix-max alpha envelope for the DDA brick majorant —
+    # fixes the reference's non-monotone-transfer majorant clipping
+    # (~26% bright on the benchmark ramp; modes._majorant_alpha)
+    physical_majorant: bool = False
     # wavefront chunking: the traversal while_loops run until EVERY lane
     # finishes, so one worst-case ray stalls the whole wavefront. Chunking
     # lax.maps the trace over coherent pixel blocks, letting each block
@@ -129,7 +133,7 @@ def trace_path(
 ):
     """fragment.frag:79-124 vectorized over the ray wavefront."""
     sample_volume, transmittance = get_mode_functions(
-        config.mode, config.physical_shadows
+        config.mode, config.physical_shadows, config.physical_majorant
     )
     n = origin.shape[0]
 
