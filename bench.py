@@ -86,12 +86,14 @@ def _err(e: BaseException) -> str:
     return f"{type(e).__name__}: {e}"[:300]
 
 
-def _build_benchmark_renderer(size: int, width: int, height: int, stages=None):
+def _build_benchmark_renderer(size: int, width: int, height: int, stages=None,
+                              vol=None):
     """The benchmark scene (shared by the sweep and the --steps-only
     subprocess so both measure the same state). `stages`, when given, is a
     dict that receives per-stage wall times so BENCH setup time is
     attributable line-item by line-item (BENCH_r02 carried 348 s of
-    unattributed setup)."""
+    unattributed setup). `vol` reuses an already-synthesized volume
+    (the 512^3 synth costs ~13-50 s; the driver run measured it twice)."""
     from volxel_tpu import Renderer
     from volxel_tpu.grid import construct_brick_grid
     from volxel_tpu.utils.fixtures import synthetic_ct_volume
@@ -102,7 +104,8 @@ def _build_benchmark_renderer(size: int, width: int, height: int, stages=None):
         stage.t0 = time.time()
 
     stage.t0 = time.time()
-    vol = synthetic_ct_volume((size, size, size), bits_stored=12)
+    if vol is None:
+        vol = synthetic_ct_volume((size, size, size), bits_stored=12)
     stage("volume_synth_s")
     grid = construct_brick_grid(
         vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
@@ -180,9 +183,11 @@ def main() -> None:
             del zip_bytes
         except Exception as e:  # noqa: BLE001 — never kill the bench
             ingest_s = {"error": _err(e)}
-    del vol
 
-    r = _build_benchmark_renderer(size, width, height, stages=setup_stages)
+    r = _build_benchmark_renderer(
+        size, width, height, stages=setup_stages, vol=vol
+    )
+    del vol
 
     setup_s = time.time() - t_setup
     print(

