@@ -104,3 +104,37 @@ def test_piz_rejects_garbage():
             piz_uncompress(junk.tobytes(), [(1, 2)], 16, 16)
         except (PizError, ValueError, IndexError):
             pass
+
+
+def test_ppmd_hostile_streams_never_crash():
+    """The PPMd decoder (native C++ on the ingest path) consumes
+    attacker-controlled ZIP payloads: garbage, truncations and random
+    corruptions of valid streams must produce typed PpmdError or a
+    bounded decode — never a crash or unexpected exception (the advisor's
+    r2 Huffman finding was exactly this class)."""
+    import random
+
+    from volxel_tpu.ingest import ppmd
+
+    rng = random.Random(99)
+    for trial in range(120):
+        n = rng.randrange(0, 200)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        try:
+            kind = trial % 4
+            if kind == 0:
+                ppmd.zip_decompress(blob)
+            elif kind == 1:
+                ppmd.zip_decompress(blob, size=rng.randrange(0, 500))
+            elif kind == 2:
+                w = (rng.randrange(2, 17) - 1) | ((rng.randrange(1, 17) - 1) << 4)
+                ppmd.zip_decompress(
+                    w.to_bytes(2, "little") + blob, size=rng.randrange(0, 2000)
+                )
+            else:
+                s = bytearray(ppmd.zip_compress(b"hello world " * 20))
+                for _ in range(rng.randrange(1, 6)):
+                    s[rng.randrange(len(s))] ^= rng.randrange(1, 256)
+                ppmd.zip_decompress(bytes(s), size=240)
+        except ppmd.PpmdError:
+            pass  # the only acceptable failure shape

@@ -185,6 +185,11 @@ class _RangeDecoder:
 
     def threshold(self, total):
         self.range //= total
+        # range >= 2^15 after normalization, but a corrupt stream can
+        # inflate an escape context's freq_sum past it — guard the
+        # division (the callers' count >= total checks then reject)
+        if self.range == 0:
+            raise PpmdError("corrupt PPMd stream (range underflow)")
         return ((self.code - self.low) & M32) // self.range
 
     def decode(self, start, size):

@@ -102,6 +102,11 @@ struct RangeDec {
   }
   uint32_t threshold(uint32_t total) {
     range /= total;
+    // range >= 2^15 after normalize, but a (corrupt) escape context can
+    // push total past it; a zero quotient here would divide by zero.
+    // Returning UINT32_MAX makes every caller take its >=total corrupt
+    // branch.
+    if (range == 0) return 0xFFFFFFFFu;
     return (code - low) / range;
   }
   void decode(uint32_t start, uint32_t size) {
