@@ -37,7 +37,8 @@ def server():
 
 
 def _get(srv, path):
-    return urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}", timeout=30)
+    # generous: suite runs can share the box with TPU benches
+    return urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}", timeout=120)
 
 
 def _post(srv, path, body: dict):
@@ -46,7 +47,7 @@ def _post(srv, path, body: dict):
         data=json.dumps(body).encode(),
         method="POST",
     )
-    return urllib.request.urlopen(req, timeout=30)
+    return urllib.request.urlopen(req, timeout=120)
 
 
 def _wait_for_frame(srv, timeout=60.0):
