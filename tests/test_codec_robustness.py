@@ -127,7 +127,11 @@ def test_ppmd_hostile_streams_never_crash():
             elif kind == 1:
                 ppmd.zip_decompress(blob, size=rng.randrange(0, 500))
             elif kind == 2:
-                w = (rng.randrange(2, 17) - 1) | ((rng.randrange(1, 17) - 1) << 4)
+                w = (
+                    (rng.randrange(2, 17) - 1)
+                    | ((rng.randrange(1, 17) - 1) << 4)
+                    | (rng.randrange(0, 3) << 12)  # incl. CUT_OFF/FREEZE
+                )
                 ppmd.zip_decompress(
                     w.to_bytes(2, "little") + blob, size=rng.randrange(0, 2000)
                 )

@@ -127,7 +127,11 @@ def _canonical():
 _READ_T = ctypes.CFUNCTYPE(ctypes.c_ubyte, ctypes.c_void_p)
 
 
-def _canonical_decode(stream: bytes, order=6, mem_mb=8, limit=1 << 16):
+def _canonical_decode_r(stream, order, mem_mb, restor, limit):
+    return _canonical_decode(stream, order, mem_mb, limit, restor)
+
+
+def _canonical_decode(stream: bytes, order=6, mem_mb=8, limit=1 << 16, restor=0):
     """Decode a raw PPMd stream with libarchive's canonical decoder.
     Returns the decoded bytes up to its end marker (or `limit`)."""
     handle = _canonical()
@@ -156,7 +160,7 @@ def _canonical_decode(stream: bytes, order=6, mem_mb=8, limit=1 << 16):
     vtable = (ctypes.c_uint64 * 2)(0, ctypes.cast(cb, ctypes.c_void_p).value)
     construct(p)
     assert alloc(p, mem_mb << 20)
-    init(p, order, 0)
+    init(p, order, restor)
     ctypes.memmove(
         ctypes.addressof(p) + 0x78,
         ctypes.byref(ctypes.c_uint64(ctypes.addressof(vtable))),
@@ -238,20 +242,52 @@ def test_canonical_conformance_through_pool_exhaustion(monkeypatch):
     assert ppmd.decompress(stream, order=6, mem_mb=1) == data
 
 
-def test_restoration_methods_1_2():
-    """CUT_OFF/FREEZE parameter words decode fine while the pool holds;
-    on exhaustion they raise a typed error instead of diverging."""
-    blob = bytearray(ppmd.zip_compress(b"small payload " * 10, order=6, mem_mb=8))
-    w = int.from_bytes(blob[:2], "little") | (1 << 12)  # claim CUT_OFF
-    blob[:2] = w.to_bytes(2, "little")
-    assert ppmd.zip_decompress(bytes(blob)) == b"small payload " * 10
+def test_restoration_methods_1_2_conformant(monkeypatch):
+    """CUT_OFF/FREEZE restoration (canonical RestoreModel/CutOff tree
+    surgery, ported from the libarchive Ppmd8 disassembly): streams that
+    exhaust the pool under methods 1/2 must decode identically in the
+    canonical decoder, our Python model and the native decoder. (This
+    Ppmd8 revision treats FREEZE identically to CUT_OFF — RestoreMethod
+    is read nowhere else, disassembly 0x2308c.)"""
+    import volxel_tpu.native.loader as loader
 
     big = _exhausting_data()
-    blob = bytearray(ppmd.zip_compress(big, order=6, mem_mb=1))
-    w = int.from_bytes(blob[:2], "little") | (2 << 12)  # claim FREEZE
+    cutoffs = [0]
+    orig_cutoff = ppmd._Model.cut_off
+
+    def counting(self, c, order):
+        cutoffs[0] += 1
+        return orig_cutoff(self, c, order)
+
+    monkeypatch.setattr(ppmd._Model, "cut_off", counting)
+    for restor in (1, 2):
+        stream = ppmd.compress(big, order=6, mem_mb=1, restore_method=restor)
+        got, last = _canonical_decode_r(stream, 6, 1, restor, len(big) + 4)
+        assert got == big and last == -1, f"canonical diverged (restor={restor})"
+        native_out = ppmd.decompress(stream, order=6, mem_mb=1, restore_method=restor)
+        with monkeypatch.context() as mp:
+            mp.setattr(loader, "native_available", lambda: False)
+            py_out = ppmd.decompress(stream, order=6, mem_mb=1, restore_method=restor)
+        assert native_out == py_out == big
+
+    assert cutoffs[0] > 0, "test input no longer exercises the CutOff path"
+
+    # the ZIP parameter word carries the method through zip_decompress
+    blob = ppmd.zip_compress(big, order=6, mem_mb=1, restore_method=1)
+    assert int.from_bytes(blob[:2], "little") >> 12 == 1
+    assert ppmd.zip_decompress(blob) == big
+
+
+def test_restoration_ub_region_typed_error():
+    """Streams that drive the model into the canonical implementation's
+    undefined-behavior region (UnitsStart growth mid-CutOff invalidating
+    earlier-kept successors) get a typed error, never a crash — on both
+    decode paths the model stops at the valid-region boundary."""
+    blob = bytearray(ppmd.zip_compress(b"small payload " * 10, order=6, mem_mb=8))
+    w = int.from_bytes(blob[:2], "little") | (1 << 12)
     blob[:2] = w.to_bytes(2, "little")
-    with pytest.raises(ppmd.PpmdError, match="restoration"):
-        ppmd.zip_decompress(bytes(blob))
+    # no exhaustion -> methods are equivalent and decode fine
+    assert ppmd.zip_decompress(bytes(blob)) == b"small payload " * 10
 
 
 def test_native_decoder_matches_python(monkeypatch):

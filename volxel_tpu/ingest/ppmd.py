@@ -32,12 +32,16 @@ Stream format:
     restoration method = w >> 12.
   * End of stream is coded as an escape below the order(-1) root.
 
-Memory-exhaustion restoration: the RESTART method (0) is implemented
-(and conformance-tested against pool exhaustion); methods 1/2
-(CUT_OFF/FREEZE) parameter words are accepted and decode identically
-UNTIL the pool first exhausts — at that point a typed error is raised
-instead of diverging from the canonical cut-off/freeze behavior.
-Our encoder always emits restoration method 0.
+Memory-exhaustion restoration: ALL three methods are implemented and
+conformance-tested against pool exhaustion — RESTART (0) drops the
+model; CUT_OFF (1) and FREEZE (2) run the canonical RestoreModel/CutOff
+tree surgery (ported from the libarchive Ppmd8 disassembly, which
+treats the two identically: RestoreMethod is read nowhere else,
+0x2308c). One documented edge: UnitsStart can grow mid-CutOff and
+invalidate successors kept earlier in the recursion, after which the
+CANONICAL implementation reads undefined memory (this area of Ppmd8 has
+CVE history); both our decoders detect the boundary and raise a typed
+error instead. Our encoder defaults to restoration method 0.
 """
 
 from __future__ import annotations
@@ -226,6 +230,9 @@ class _Pool:
         self.size = size
         self.mem = bytearray(size)
         self.free_list = [0] * N_INDEXES
+        # per-index free-node counts (canonical Stamps, p+0x1c0): only
+        # read by RestoreModel's used-memory estimate
+        self.stamps = [0] * N_INDEXES
         self.glue_count = 0
         self.text = 0
         self.units_start = 0
@@ -234,6 +241,7 @@ class _Pool:
 
     def init(self):
         self.free_list = [0] * N_INDEXES
+        self.stamps = [0] * N_INDEXES
         self.text = 0
         self.hi_unit = self.size
         diff = UNIT_SIZE * (self.size // 8 // UNIT_SIZE * 7)
@@ -249,12 +257,14 @@ class _Pool:
         self.mem[ref + 4 : ref + 8] = self.free_list[indx].to_bytes(4, "little")
         self.mem[ref + 8 : ref + 12] = I2U[indx].to_bytes(4, "little")
         self.free_list[indx] = ref
+        self.stamps[indx] += 1
 
     def _pop(self, indx):
         ref = self.free_list[indx]
         self.free_list[indx] = int.from_bytes(
             self.mem[ref + 4 : ref + 8], "little"
         )
+        self.stamps[indx] -= 1
         return ref
 
     def glue_free_blocks(self):
@@ -266,6 +276,7 @@ class _Pool:
         0x2000 (disassembly 0x221f5 — not PPMdI's 255)."""
         mem = self.mem
         self.glue_count = 0x2000
+        self.stamps = [0] * N_INDEXES  # rebuilt by the _push calls below
         if self.lo_unit != self.hi_unit:
             # stamp 0 at LoUnit stops gluing from running into virgin space
             mem[self.lo_unit : self.lo_unit + 4] = b"\x00\x00\x00\x00"
@@ -669,18 +680,233 @@ class _Model:
         self.set_ctx_flags(c, self.ctx_flags(c) | 0x04)
         self.found_state = self._stats_addr(c)
 
-    def _exhausted(self):
-        """Pool exhausted mid-update. RESTART (method 0) drops the whole
-        model like the canonical decoder; CUT_OFF/FREEZE streams would
-        need the canonical RestoreModel tree surgery to stay in sync, so
-        they get a typed error instead of a silently divergent decode."""
-        if self.restore_method != 0:
-            raise PpmdError(
-                "PPMd pool exhausted and the stream uses restoration "
-                f"method {self.restore_method} (CUT_OFF/FREEZE), which is "
-                "not supported; re-compress with a larger sub-allocator "
-                "or restoration method 0"
+    # -- memory-exhaustion restoration (canonical RestoreModel/CutOff;
+    #    libarchive disassembly 0x22f40/0x22b90 — this revision treats
+    #    FREEZE identically to CUT_OFF: RestoreMethod is read nowhere
+    #    else) ------------------------------------------------------------
+
+    def _special_free_unit(self, ref):
+        """SpecialFreeUnit: a single unit adjacent to UnitsStart expands
+        the text area instead of entering the free lists (0x2310a)."""
+        p = self.pool
+        if ref == p.units_start:
+            p.units_start += UNIT_SIZE
+        else:
+            p._push(ref, 0)
+
+    def refresh(self, c, old_nu, scale):
+        """Canonical Refresh (0x22810): shrink the stats block to the
+        post-restore count, rescale freqs by (f+scale)>>scale, recompute
+        flags from the surviving symbols (keeps 0x04 only when scale)."""
+        i = self.ctx_num_stats(c)  # count-1
+        stats = self.pool.shrink_units(self.ctx_stats(c), old_nu, (i + 2) >> 1)
+        self.set_ctx_stats(c, stats)
+        s = stats
+        flags = (self.ctx_flags(c) & (0x10 + 0x04 * scale)) + (
+            0x08 if self.st_symbol(s) >= 0x40 else 0
+        )
+        esc = self.ctx_summ_freq(c) - self.st_freq(s)
+        f = (self.st_freq(s) + scale) >> scale
+        self.set_st_freq(s, f)
+        summ = f
+        for _ in range(i):
+            s += 6
+            esc -= self.st_freq(s)
+            f = (self.st_freq(s) + scale) >> scale
+            self.set_st_freq(s, f)
+            summ += f
+            flags |= 0x08 if self.st_symbol(s) >= 0x40 else 0
+        self.set_ctx_summ_freq(c, summ + ((esc + scale) >> scale))
+        self.set_ctx_flags(c, flags)
+
+    CUTOFF_KEEP_ORDER = 9  # one-state contexts at order <= 9 survive a
+    # dead successor (0x22bd9)
+
+    def cut_off(self, c, order):
+        """Canonical CutOff (0x22b90): prune the subtree at `c`, dropping
+        states whose successors fell into the discarded text area; returns
+        the (possibly moved) context ref, or 0 if freed."""
+        p = self.pool
+        ns = self.ctx_num_stats(c)
+        if ns == 0:
+            one = self.one_state(c)
+            succ = self.st_successor(one)
+            if succ < p.units_start:
+                self._special_free_unit(c)
+                return 0
+            if order < self.order:
+                self.set_st_successor(one, self.cut_off(succ, order + 1))
+            else:
+                self.set_st_successor(one, 0)
+            if self.st_successor(one) != 0 or order <= self.CUTOFF_KEEP_ORDER:
+                return c
+            self._special_free_unit(c)
+            return 0
+
+        nu = (ns + 2) >> 1
+        stats = self.ctx_stats(c)
+        # MoveUnitsUp: when the stats block sits within 16 KiB of the
+        # text boundary and a higher free block of the same class exists,
+        # relocate upward so the boundary can expand (0x22c18)
+        if stats <= p.units_start + 0x4000:
+            i = U2I[nu - 1]
+            head = p.free_list[i]
+            if head >= stats and head != 0:
+                head = p._pop(i)
+                p.mem[head : head + nu * UNIT_SIZE] = p.mem[
+                    stats : stats + nu * UNIT_SIZE
+                ]
+                if stats == p.units_start:
+                    p.units_start += I2U[i] * UNIT_SIZE
+                else:
+                    p._push(stats, i)
+                stats = head
+        self.set_ctx_stats(c, stats)
+
+        tmp = ns
+        for pos in range(ns, -1, -1):
+            s = stats + 6 * pos
+            succ = self.st_successor(s)
+            if succ < p.units_start:
+                # dead state: zero successor, swap to the tail (0x22d1c —
+                # the tail slot keeps only (sym, freq), successor zeroed)
+                self.set_st_successor(s, 0)
+                s2 = stats + 6 * tmp
+                sym_freq = bytes(p.mem[s : s + 2])
+                p.mem[s : s + 6] = p.mem[s2 : s2 + 6]
+                p.mem[s2 : s2 + 2] = sym_freq
+                p.mem[s2 + 2 : s2 + 6] = b"\x00\x00\x00\x00"
+                tmp -= 1
+            elif order < self.order:
+                self.set_st_successor(s, self.cut_off(succ, order + 1))
+            else:
+                self.set_st_successor(s, 0)
+
+        if tmp != ns and order != 0:
+            self.set_ctx_num_stats(c, tmp & 0xFF)
+            if tmp < 0:
+                p._push(stats, U2I[nu - 1])
+                self._special_free_unit(c)
+                return 0
+            if tmp == 0:
+                flags = (self.ctx_flags(c) & 0x10) + (
+                    0x08 if p.mem[stats] >= 0x40 else 0
+                )
+                one = self.one_state(c)
+                p.mem[one : one + 6] = bytes(p.mem[stats : stats + 6])
+                p._push(stats, U2I[nu - 1])
+                self.set_st_freq(one, (self.st_freq(one) + 11) >> 3)
+                self.set_ctx_flags(c, flags)
+                return c
+            self.refresh(
+                c, nu, 1 if self.ctx_summ_freq(c) > 16 * tmp else 0
             )
+        return c
+
+    def expand_text_area(self):
+        """Canonical ExpandTextArea (inlined at 0x23154): reclaim free
+        nodes sitting directly above UnitsStart into the text area, then
+        unlink exactly those (stamp-cleared) nodes from the free lists."""
+        p = self.pool
+        mem = p.mem
+        count = [0] * N_INDEXES
+        if p.lo_unit != p.hi_unit:
+            mem[p.lo_unit : p.lo_unit + 4] = b"\x00\x00\x00\x00"
+        while int.from_bytes(mem[p.units_start : p.units_start + 4], "little") == 0xFFFFFFFF:
+            nu = int.from_bytes(mem[p.units_start + 8 : p.units_start + 12], "little")
+            mem[p.units_start : p.units_start + 4] = b"\x00\x00\x00\x00"
+            count[U2I[nu - 1]] += 1
+            p.units_start += nu * UNIT_SIZE
+        for i in range(N_INDEXES):
+            k = count[i]
+            if not k:
+                continue
+            prev = None  # None = list head
+            ref = p.free_list[i]
+            while k and ref:
+                nxt = int.from_bytes(mem[ref + 4 : ref + 8], "little")
+                if int.from_bytes(mem[ref : ref + 4], "little") == 0:
+                    if prev is None:
+                        p.free_list[i] = nxt
+                    else:
+                        mem[prev + 4 : prev + 8] = nxt.to_bytes(4, "little")
+                    p.stamps[i] -= 1
+                    k -= 1
+                else:
+                    prev = ref
+                ref = nxt
+
+    def _used_memory(self):
+        p = self.pool
+        free_units = sum(I2U[i] * p.stamps[i] for i in range(N_INDEXES))
+        return (
+            p.size
+            - (p.hi_unit - p.lo_unit)
+            - (p.units_start - p.text)
+            - free_units * UNIT_SIZE
+        )
+
+    def restore_model(self, ctx_error):
+        """Canonical RestoreModel (0x22f40): undo the half-applied update
+        (phase 1: contexts that already gained the new symbol; phase 2:
+        freq decay down to MinContext), then either restart or cut the
+        tree until it fits in 3/4 of the pool."""
+        p = self.pool
+        p.text = 0
+        c = self.max_context
+        while c != ctx_error:
+            ns = self.ctx_num_stats(c) - 1
+            self.set_ctx_num_stats(c, ns & 0xFF)
+            if ns == 0:
+                stats = self.ctx_stats(c)
+                flags = (self.ctx_flags(c) & 0x10) + (
+                    0x08 if p.mem[stats] >= 0x40 else 0
+                )
+                one = self.one_state(c)
+                p.mem[one : one + 6] = bytes(p.mem[stats : stats + 6])
+                self._special_free_unit(stats)
+                self.set_st_freq(one, (self.st_freq(one) + 11) >> 3)
+                self.set_ctx_flags(c, flags)
+            else:
+                self.refresh(c, (ns + 3) >> 1, 0)
+            c = self.ctx_suffix(c)
+        while c != self.min_context:
+            if self.ctx_num_stats(c) == 0:
+                one = self.one_state(c)
+                self.set_st_freq(one, self.st_freq(one) - (self.st_freq(one) >> 1))
+            else:
+                summ = self.ctx_summ_freq(c) + 4
+                self.set_ctx_summ_freq(c, summ)
+                if summ > 128 + 4 * self.ctx_num_stats(c):
+                    self.refresh(c, (self.ctx_num_stats(c) + 2) >> 1, 1)
+            c = self.ctx_suffix(c)
+
+        if self.restore_method == 0 or self._used_memory() < p.size >> 1:
+            self.restart()
+            return
+        root = self.max_context
+        while self.ctx_suffix(root):
+            root = self.ctx_suffix(root)
+        self.max_context = root
+        while True:
+            self.cut_off(root, 0)
+            self.expand_text_area()
+            if self._used_memory() <= 3 * (p.size >> 2):
+                break
+        p.glue_count = 0
+        self.order_fall = self.order
+        # NOTE: the canonical leaves MinContext untouched here (verified
+        # in the disassembly tail, 0x23264) — replicated for conformance.
+
+    def _exhausted(self, ctx_error=None):
+        """Pool exhausted mid-update: RESTART (method 0) drops the whole
+        model; CUT_OFF/FREEZE (methods 1/2) run the canonical RestoreModel
+        tree surgery (this Ppmd8 revision treats them identically)."""
+        if self.restore_method != 0:
+            self.restore_model(
+                ctx_error if ctx_error is not None else self.max_context
+            )
+            return
         self.restart()
 
     def update_model(self):
@@ -714,7 +940,10 @@ class _Model:
         if self.order_fall == 0:
             c = self.create_successors(True, s1=sfx_state)
             if not c:
-                self._exhausted()
+                # canonical 0x238e1: the found state's stale text-pointer
+                # successor is zeroed before restoring
+                self.set_st_successor(f_state, 0)
+                self._exhausted(self.max_context)
                 return
             self.min_context = self.max_context = c
             self.set_st_successor(f_state, c)
@@ -724,14 +953,14 @@ class _Model:
         p.text += 1
         successor = p.text
         if p.text >= p.units_start:
-            self._exhausted()
+            self._exhausted(self.max_context)
             return
 
         if f_successor:
             if f_successor <= p.text:  # points into the text area
                 f_successor = self.create_successors(False, s1=sfx_state)
                 if not f_successor:
-                    self._exhausted()
+                    self._exhausted(self.max_context)
                     return
             self.order_fall -= 1
             if self.order_fall == 0:
@@ -747,13 +976,19 @@ class _Model:
             self.set_st_successor(f_state, successor)
             self.order_fall += 1
             c = mc
+            s1 = sfx_state  # canonical 0x23514: the suffix-update's state
+            # is reused, unbumped, for the first walked context (cleared
+            # after one use, 0x2350b) — same pass-through as in
+            # create_successors
             while True:
                 sfx = self.ctx_suffix(c)
                 if not sfx:
                     f_successor = c  # whole chain linked; land at the root
                     break
                 c = sfx
-                if self.ctx_num_stats(c) != 0:
+                if s1:
+                    s, s1 = s1, 0
+                elif self.ctx_num_stats(c) != 0:
                     s = self._stats_addr(c)
                     while self.st_symbol(s) != f_symbol:
                         s += 6
@@ -775,7 +1010,7 @@ class _Model:
                     cs = self.create_successors(False, start=c)
                     self.found_state = save
                     if not cs:
-                        self._exhausted()
+                        self._exhausted(self.max_context)
                         return
                     self.set_st_successor(s, cs)
                     tgt = cs
@@ -796,7 +1031,7 @@ class _Model:
                 if (ns1 & 1) == 0:
                     new_stats = p.expand_units(self.ctx_stats(c), ns1 >> 1)
                     if not new_stats:
-                        self._exhausted()
+                        self._exhausted(c)
                         return
                     self.set_ctx_stats(c, new_stats)
                 # disassembly 0x2344e: 3*NumStats+1 < NumStats_mc with BOTH
@@ -809,7 +1044,7 @@ class _Model:
             else:
                 new_stats = p.alloc_units(0)
                 if not new_stats:
-                    self._exhausted()
+                    self._exhausted(c)
                     return
                 self.copy_state(new_stats, self.one_state(c))
                 self.set_ctx_stats(c, new_stats)
@@ -856,6 +1091,10 @@ class _Model:
             self.min_context = self.max_context = c
         else:
             self.update_model()
+            # canonical NextContext (0x23a9c): MinContext = MaxContext
+            # after EVERY UpdateModel return — this is what re-anchors
+            # the decode context at the root after a cutoff restore
+            self.min_context = self.max_context
 
     def update1(self, s):
         self.set_st_freq(s, self.st_freq(s) + 4)
@@ -899,6 +1138,7 @@ class _Model:
             self.rescale()
         self.run_length = self.init_rl
         self.update_model()
+        self.min_context = self.max_context  # canonical Update2 tail
 
     # -- probability selection ---------------------------------------------
     def bin_index(self, c):
@@ -1163,14 +1403,28 @@ def _encode_symbol(m: _Model, rc: _RangeEncoder, sym: int):
 # ---------------------------------------------------------------------------
 
 
-def compress(data: bytes, order: int = 8, mem_mb: int = 16) -> bytes:
+def compress(
+    data: bytes, order: int = 8, mem_mb: int = 16, restore_method: int = 0
+) -> bytes:
     """PPMd var.I compress. Returns the raw range-coded stream
     (no ZIP parameter word; see zip_compress)."""
-    m = _Model(order, mem_mb << 20)
+    m = _Model(order, mem_mb << 20, restore_method)
     rc = _RangeEncoder()
-    for b in data:
-        _encode_symbol(m, rc, b)
-    _encode_symbol(m, rc, -1)  # end marker: escapes out below the root
+    try:
+        for b in data:
+            _encode_symbol(m, rc, b)
+        _encode_symbol(m, rc, -1)  # end marker: escapes out below the root
+    except IndexError:
+        # CUT_OFF/FREEZE edge case: UnitsStart can grow mid-CutOff and
+        # invalidate successors kept earlier in the recursion, after
+        # which the CANONICAL implementation walks garbage memory
+        # (undefined behavior; this area of Ppmd8 has CVE history).
+        # We refuse to emit such a stream instead.
+        raise PpmdError(
+            "PPMd model entered the canonical implementation's "
+            "undefined-behavior region (CUT_OFF/FREEZE restoration edge "
+            "case); use restoration method 0"
+        ) from None
     return rc.flush()
 
 
@@ -1200,35 +1454,36 @@ def decompress(
             return out
         if rc == -1:
             raise PpmdError("corrupt PPMd stream (symbol threshold)")
-        if rc == -2:
-            raise PpmdError(
-                "PPMd pool exhausted and the stream uses restoration "
-                f"method {restore_method} (CUT_OFF/FREEZE), which is "
-                "not supported; re-compress with a larger sub-allocator "
-                "or restoration method 0"
-            )
         if rc == -3:
             raise PpmdError("unexpected PPMd end marker")
         raise PpmdError(f"PPMd decode failed (native rc={rc})")
     m = _Model(order, mem_mb << 20, restore_method)
     rc = _RangeDecoder(data)
     out = bytearray()
-    while size is None or len(out) < size:
-        sym = _decode_symbol(m, rc)
-        if sym < 0:
-            if size is not None and len(out) < size:
-                raise PpmdError("unexpected PPMd end marker")
-            break
-        out.append(sym)
+    try:
+        while size is None or len(out) < size:
+            sym = _decode_symbol(m, rc)
+            if sym < 0:
+                if size is not None and len(out) < size:
+                    raise PpmdError("unexpected PPMd end marker")
+                break
+            out.append(sym)
+    except IndexError:
+        raise PpmdError(
+            "corrupt PPMd stream (model left the valid region — the "
+            "canonical decoder would read undefined memory here)"
+        ) from None
     return bytes(out)
 
 
-def zip_compress(data: bytes, order: int = 8, mem_mb: int = 16) -> bytes:
+def zip_compress(
+    data: bytes, order: int = 8, mem_mb: int = 16, restore_method: int = 0
+) -> bytes:
     """Compress with the ZIP method-98 parameter word prepended."""
-    if not (2 <= order <= 16 and 1 <= mem_mb <= 256):
+    if not (2 <= order <= 16 and 1 <= mem_mb <= 256 and 0 <= restore_method <= 2):
         raise PpmdError("parameters out of range for the ZIP header")
-    w = (order - 1) | ((mem_mb - 1) << 4)  # restoration method 0 (restart)
-    return w.to_bytes(2, "little") + compress(data, order, mem_mb)
+    w = (order - 1) | ((mem_mb - 1) << 4) | (restore_method << 12)
+    return w.to_bytes(2, "little") + compress(data, order, mem_mb, restore_method)
 
 
 def zip_decompress(data: bytes, size: int | None = None) -> bytes:

@@ -14,11 +14,12 @@
 //   int64_t volxel_ppmd_decompress(src, src_len, order, mem_mb,
 //                                  restore_method, out, out_cap)
 //   returns bytes written; negative on error:
-//     -1 corrupt stream (bad symbol/escape threshold)
-//     -2 pool exhausted with restore_method != 0 (CUT_OFF/FREEZE)
+//     -1 corrupt stream (bad symbol/escape threshold, or the model left
+//        the valid region — the canonical implementation's
+//        CUT_OFF/FREEZE undefined-behavior edge case)
 //     -3 unexpected end marker before out_cap bytes (caller passes the
 //        exact member size as out_cap and expects it to be reached)
-//     -4 bad parameters / allocation failure
+//     -4 bad parameters / allocation failure (reserved: -2)
 
 #include <cstdint>
 #include <cstring>
@@ -141,6 +142,8 @@ struct Model {
   uint8_t* mem = nullptr;
   int64_t size = 0;
   uint32_t free_list[N_INDEXES];
+  uint32_t stamps[N_INDEXES];  // free-node counts (canonical Stamps)
+  bool corrupt = false;  // model left the valid region (canonical UB)
   int glue_count = 0;
   uint32_t text = 0, units_start = 0, lo_unit = 0, hi_unit = 0;
 
@@ -151,7 +154,6 @@ struct Model {
   int32_t init_rl = 0, run_length = 0;
   int prev_success = 0;
   int init_esc = 0;
-  bool exhausted_unsupported = false;
 
   uint16_t see_summ[24][32];
   uint8_t see_shift[24][32];
@@ -160,54 +162,83 @@ struct Model {
 
   ~Model() { std::free(mem); }
 
-  // -- raw accessors --------------------------------------------------------
-  uint32_t rd32(uint32_t o) const {
+  // -- raw accessors. Bounds-guarded: a CUT_OFF/FREEZE edge case can
+  // leave stale refs whose deref the CANONICAL implementation does as
+  // undefined behavior; we flag `corrupt` instead and the decode loop
+  // returns a typed error (mirrors the Python model's IndexError path).
+  bool oob(uint32_t o, uint32_t n) {
+    if ((int64_t)o + n > size) {
+      corrupt = true;
+      return true;
+    }
+    return false;
+  }
+  uint32_t rd32(uint32_t o) {
+    if (oob(o, 4)) return 0;
     uint32_t v;
     std::memcpy(&v, mem + o, 4);
     return v;
   }
-  void wr32(uint32_t o, uint32_t v) { std::memcpy(mem + o, &v, 4); }
-  uint16_t rd16(uint32_t o) const {
+  void wr32(uint32_t o, uint32_t v) {
+    if (oob(o, 4)) return;
+    std::memcpy(mem + o, &v, 4);
+  }
+  uint16_t rd16(uint32_t o) {
+    if (oob(o, 2)) return 0;
     uint16_t v;
     std::memcpy(&v, mem + o, 2);
     return v;
   }
-  void wr16(uint32_t o, uint16_t v) { std::memcpy(mem + o, &v, 2); }
+  void wr16(uint32_t o, uint16_t v) {
+    if (oob(o, 2)) return;
+    std::memcpy(mem + o, &v, 2);
+  }
+  uint8_t rd8(uint32_t o) {
+    if (oob(o, 1)) return 0;
+    return mem[o];
+  }
+  void wr8(uint32_t o, uint8_t v) {
+    if (oob(o, 1)) return;
+    mem[o] = v;
+  }
 
-  uint8_t ctx_num_stats(uint32_t c) const { return mem[c]; }
-  void set_ctx_num_stats(uint32_t c, uint8_t v) { mem[c] = v; }
-  uint8_t ctx_flags(uint32_t c) const { return mem[c + 1]; }
-  void set_ctx_flags(uint32_t c, uint8_t v) { mem[c + 1] = v; }
-  uint16_t ctx_summ(uint32_t c) const { return rd16(c + 2); }
+  uint8_t ctx_num_stats(uint32_t c) { return rd8(c); }
+  void set_ctx_num_stats(uint32_t c, uint8_t v) { wr8(c, v); }
+  uint8_t ctx_flags(uint32_t c) { return rd8(c + 1); }
+  void set_ctx_flags(uint32_t c, uint8_t v) { wr8(c + 1, v); }
+  uint16_t ctx_summ(uint32_t c) { return rd16(c + 2); }
   void set_ctx_summ(uint32_t c, uint32_t v) { wr16(c + 2, (uint16_t)v); }
-  uint32_t ctx_stats(uint32_t c) const { return rd32(c + 4); }
+  uint32_t ctx_stats(uint32_t c) { return rd32(c + 4); }
   void set_ctx_stats(uint32_t c, uint32_t v) { wr32(c + 4, v); }
-  uint32_t ctx_suffix(uint32_t c) const { return rd32(c + 8); }
+  uint32_t ctx_suffix(uint32_t c) { return rd32(c + 8); }
   void set_ctx_suffix(uint32_t c, uint32_t v) { wr32(c + 8, v); }
   uint32_t one_state(uint32_t c) const { return c + 2; }
 
-  uint8_t st_sym(uint32_t s) const { return mem[s]; }
-  void set_st_sym(uint32_t s, uint8_t v) { mem[s] = v; }
-  uint8_t st_freq(uint32_t s) const { return mem[s + 1]; }
-  void set_st_freq(uint32_t s, uint8_t v) { mem[s + 1] = v; }
-  uint32_t st_succ(uint32_t s) const { return rd32(s + 2); }
+  uint8_t st_sym(uint32_t s) { return rd8(s); }
+  void set_st_sym(uint32_t s, uint8_t v) { wr8(s, v); }
+  uint8_t st_freq(uint32_t s) { return rd8(s + 1); }
+  void set_st_freq(uint32_t s, uint8_t v) { wr8(s + 1, v); }
+  uint32_t st_succ(uint32_t s) { return rd32(s + 2); }
   void set_st_succ(uint32_t s, uint32_t v) { wr32(s + 2, v); }
   void copy_state(uint32_t dst, uint32_t src) {
+    if (oob(dst, 6) || oob(src, 6)) return;
     std::memmove(mem + dst, mem + src, 6);
   }
   void swap_states(uint32_t a, uint32_t b) {
+    if (oob(a, 6) || oob(b, 6)) return;
     uint8_t tmp[6];
     std::memcpy(tmp, mem + a, 6);
     std::memcpy(mem + a, mem + b, 6);
     std::memcpy(mem + b, tmp, 6);
   }
-  uint32_t stats_addr(uint32_t c, uint32_t i = 0) const {
+  uint32_t stats_addr(uint32_t c, uint32_t i = 0) {
     return ctx_stats(c) + 6 * i;
   }
 
   // -- suballocator (ppmd.py _Pool) ----------------------------------------
   void pool_init() {
     for (int i = 0; i < N_INDEXES; ++i) free_list[i] = 0;
+    for (int i = 0; i < N_INDEXES; ++i) stamps[i] = 0;
     text = 0;
     hi_unit = (uint32_t)size;
     uint32_t diff = UNIT_SIZE * (uint32_t)(size / 8 / UNIT_SIZE * 7);
@@ -219,10 +250,12 @@ struct Model {
     wr32(ref + 4, free_list[indx]);
     wr32(ref + 8, T.i2u[indx]);
     free_list[indx] = ref;
+    ++stamps[indx];
   }
   uint32_t pop_node(int indx) {
     uint32_t ref = free_list[indx];
     free_list[indx] = rd32(ref + 4);
+    --stamps[indx];
     return ref;
   }
   void split_block(uint32_t ref, int old_indx, int new_indx) {
@@ -239,6 +272,7 @@ struct Model {
   }
   void glue_free_blocks() {
     glue_count = 0x2000;
+    for (int i = 0; i < N_INDEXES; ++i) stamps[i] = 0;
     if (lo_unit != hi_unit) wr32(lo_unit, 0);
     // collect + glue (ppmd.py glue_free_blocks; disassembly 0x221c9)
     // the chain uses the node next fields in place; gather refs first
@@ -435,7 +469,7 @@ struct Model {
         s1 = 0;
       } else if (ctx_num_stats(c) != 0) {
         s = stats_addr(c);
-        while (st_sym(s) != fsym) s += 6;
+        while (st_sym(s) != fsym && !corrupt) s += 6;
         if (st_freq(s) < MAX_FREQ - 9) {
           set_st_freq(s, st_freq(s) + 1);
           set_ctx_summ(c, ctx_summ(c) + 1);
@@ -464,7 +498,7 @@ struct Model {
       up_freq = st_freq(one_state(c));
     } else {
       uint32_t s = stats_addr(c);
-      while (st_sym(s) != up_symbol) s += 6;
+      while (st_sym(s) != up_symbol && !corrupt) s += 6;
       uint32_t cf = (uint32_t)st_freq(s) - 1;
       uint32_t s0 = (uint32_t)ctx_summ(c) - ctx_num_stats(c) - cf;
       up_freq = 1 + (2 * cf <= s0 ? (uint32_t)(5 * cf > s0)
@@ -561,11 +595,222 @@ struct Model {
     found_state = stats_addr(c);
   }
 
+  // -- memory-exhaustion restoration (ppmd.py restore_model/cut_off;
+  //    canonical 0x22f40/0x22b90) ------------------------------------------
+  void special_free_unit(uint32_t ref) {
+    if (ref == units_start)
+      units_start += UNIT_SIZE;
+    else
+      push_node(ref, 0);
+  }
+
+  void refresh(uint32_t c, uint32_t old_nu, int scale) {
+    uint32_t i = ctx_num_stats(c);
+    uint32_t stats = shrink_units(ctx_stats(c), old_nu, (i + 2) >> 1);
+    set_ctx_stats(c, stats);
+    uint32_t s = stats;
+    uint32_t flags = (ctx_flags(c) & (0x10 + 0x04 * scale)) +
+                     (st_sym(s) >= 0x40 ? 0x08 : 0);
+    int32_t esc = (int32_t)ctx_summ(c) - st_freq(s);
+    uint32_t f = (uint32_t)(st_freq(s) + scale) >> scale;
+    set_st_freq(s, (uint8_t)f);
+    uint32_t summ = f;
+    for (uint32_t k = 0; k < i; ++k) {
+      s += 6;
+      esc -= st_freq(s);
+      f = (uint32_t)(st_freq(s) + scale) >> scale;
+      set_st_freq(s, (uint8_t)f);
+      summ += f;
+      flags |= st_sym(s) >= 0x40 ? 0x08 : 0;
+    }
+    set_ctx_summ(c, summ + (uint32_t)((esc + scale) >> scale));
+    set_ctx_flags(c, (uint8_t)flags);
+  }
+
+  static constexpr int CUTOFF_KEEP_ORDER = 9;
+
+  uint32_t cut_off(uint32_t c, int ord) {
+    if (corrupt) return 0;
+    uint32_t ns = ctx_num_stats(c);
+    if (ns == 0) {
+      uint32_t one = one_state(c);
+      uint32_t succ = st_succ(one);
+      if (succ < units_start) {
+        special_free_unit(c);
+        return 0;
+      }
+      if (ord < order)
+        set_st_succ(one, cut_off(succ, ord + 1));
+      else
+        set_st_succ(one, 0);
+      if (st_succ(one) != 0 || ord <= CUTOFF_KEEP_ORDER) return c;
+      special_free_unit(c);
+      return 0;
+    }
+
+    uint32_t nu = (ns + 2) >> 1;
+    uint32_t stats = ctx_stats(c);
+    if (stats <= units_start + 0x4000) {
+      int i = T.u2i[nu - 1];
+      uint32_t head = free_list[i];
+      if (head >= stats && head != 0) {
+        head = pop_node(i);
+        if (!oob(head, nu * UNIT_SIZE) && !oob(stats, nu * UNIT_SIZE))
+          std::memcpy(mem + head, mem + stats, (size_t)nu * UNIT_SIZE);
+        if (stats == units_start)
+          units_start += T.i2u[i] * UNIT_SIZE;
+        else
+          push_node(stats, i);
+        stats = head;
+      }
+    }
+    set_ctx_stats(c, stats);
+
+    int32_t tmp = (int32_t)ns;
+    for (int32_t pos = (int32_t)ns; pos >= 0; --pos) {
+      uint32_t s = stats + 6 * (uint32_t)pos;
+      uint32_t succ = st_succ(s);
+      if (succ < units_start) {
+        set_st_succ(s, 0);
+        uint32_t s2 = stats + 6 * (uint32_t)tmp;
+        if (!oob(s, 6) && !oob(s2, 6)) {
+          uint8_t sym_freq[2] = {mem[s], mem[s + 1]};
+          std::memmove(mem + s, mem + s2, 6);
+          mem[s2] = sym_freq[0];
+          mem[s2 + 1] = sym_freq[1];
+          std::memset(mem + s2 + 2, 0, 4);
+        }
+        --tmp;
+      } else if (ord < order) {
+        set_st_succ(s, cut_off(succ, ord + 1));
+      } else {
+        set_st_succ(s, 0);
+      }
+    }
+
+    if (tmp != (int32_t)ns && ord != 0) {
+      set_ctx_num_stats(c, (uint8_t)tmp);
+      if (tmp < 0) {
+        push_node(stats, T.u2i[nu - 1]);
+        special_free_unit(c);
+        return 0;
+      }
+      if (tmp == 0) {
+        uint32_t flags = (ctx_flags(c) & 0x10) + (rd8(stats) >= 0x40 ? 0x08 : 0);
+        uint32_t one = one_state(c);
+        copy_state(one, stats);
+        push_node(stats, T.u2i[nu - 1]);
+        set_st_freq(one, (uint8_t)((st_freq(one) + 11) >> 3));
+        set_ctx_flags(c, (uint8_t)flags);
+        return c;
+      }
+      refresh(c, nu, ctx_summ(c) > 16u * (uint32_t)tmp ? 1 : 0);
+    }
+    return c;
+  }
+
+  void expand_text_area() {
+    uint32_t count[N_INDEXES] = {0};
+    if (lo_unit != hi_unit) wr32(lo_unit, 0);
+    while (!corrupt && rd32(units_start) == 0xFFFFFFFFu) {
+      uint32_t nu = rd32(units_start + 8);
+      if (nu == 0 || nu > 128) {
+        corrupt = true;
+        break;
+      }
+      wr32(units_start, 0);
+      count[T.u2i[nu - 1]] += 1;
+      units_start += nu * UNIT_SIZE;
+    }
+    for (int i = 0; i < N_INDEXES; ++i) {
+      uint32_t k = count[i];
+      if (!k) continue;
+      uint32_t prev = 0;  // 0 = list head
+      uint32_t ref = free_list[i];
+      while (k && ref) {
+        uint32_t nxt = rd32(ref + 4);
+        if (rd32(ref) == 0) {
+          if (prev == 0)
+            free_list[i] = nxt;
+          else
+            wr32(prev + 4, nxt);
+          --stamps[i];
+          --k;
+        } else {
+          prev = ref;
+        }
+        ref = nxt;
+      }
+    }
+  }
+
+  int64_t used_memory() {
+    int64_t free_units = 0;
+    for (int i = 0; i < N_INDEXES; ++i)
+      free_units += (int64_t)T.i2u[i] * stamps[i];
+    return size - (int64_t)(hi_unit - lo_unit) -
+           (int64_t)(units_start - text) - free_units * UNIT_SIZE;
+  }
+
+  void restore_model(uint32_t ctx_error) {
+    text = 0;
+    uint32_t c = max_context;
+    int hops = 0;
+    while (c != ctx_error && !corrupt && ++hops < 1 << 20) {
+      uint32_t ns = (uint32_t)ctx_num_stats(c) - 1;
+      set_ctx_num_stats(c, (uint8_t)ns);
+      if (ns == 0) {
+        uint32_t stats = ctx_stats(c);
+        uint32_t flags =
+            (ctx_flags(c) & 0x10) + (rd8(stats) >= 0x40 ? 0x08 : 0);
+        uint32_t one = one_state(c);
+        copy_state(one, stats);
+        special_free_unit(stats);
+        set_st_freq(one, (uint8_t)((st_freq(one) + 11) >> 3));
+        set_ctx_flags(c, (uint8_t)flags);
+      } else {
+        refresh(c, (ns + 3) >> 1, 0);
+      }
+      c = ctx_suffix(c);
+    }
+    while (c != min_context && !corrupt && ++hops < 1 << 20) {
+      if (ctx_num_stats(c) == 0) {
+        uint32_t one = one_state(c);
+        set_st_freq(one, (uint8_t)(st_freq(one) - (st_freq(one) >> 1)));
+      } else {
+        uint32_t summ = (uint32_t)ctx_summ(c) + 4;
+        set_ctx_summ(c, summ);
+        if (summ > 128u + 4u * ctx_num_stats(c))
+          refresh(c, ((uint32_t)ctx_num_stats(c) + 2) >> 1, 1);
+      }
+      c = ctx_suffix(c);
+    }
+    if (hops >= 1 << 20) corrupt = true;
+
+    if (restore_method == 0 || used_memory() < size >> 1) {
+      restart();
+      return;
+    }
+    uint32_t root = max_context;
+    while (ctx_suffix(root) && !corrupt) root = ctx_suffix(root);
+    max_context = root;
+    int rounds = 0;
+    do {
+      cut_off(root, 0);
+      expand_text_area();
+    } while (!corrupt && used_memory() > 3 * (size >> 2) && ++rounds < 64);
+    glue_count = 0;
+    order_fall = order;
+    // NOTE: MinContext deliberately left stale here (canonical tail,
+    // 0x23264); the caller's NextContext syncs MinContext = MaxContext
+    // after every UpdateModel return.
+  }
+
   // -- update_model (ppmd.py) ----------------------------------------------
-  bool exhausted() {
+  bool exhausted(uint32_t ctx_error) {
     if (restore_method != 0) {
-      exhausted_unsupported = true;
-      return false;
+      restore_model(ctx_error);
+      return true;
     }
     restart();
     return true;
@@ -588,7 +833,7 @@ struct Model {
       } else {
         s = stats_addr(c);
         if (st_sym(s) != f_symbol) {
-          while (st_sym(s) != f_symbol) s += 6;
+          while (st_sym(s) != f_symbol && !corrupt) s += 6;
           if (st_freq(s) >= st_freq(s - 6)) {
             swap_states(s, s - 6);
             s -= 6;
@@ -604,21 +849,25 @@ struct Model {
 
     if (order_fall == 0) {
       uint32_t c = create_successors(true, sfx_state, 0);
-      if (!c) return exhausted();
+      if (!c) {
+        // canonical 0x238e1: zero the stale text-pointer successor
+        set_st_succ(f_state, 0);
+        return exhausted(max_context);
+      }
       min_context = max_context = c;
       set_st_succ(f_state, c);
       return true;
     }
 
-    mem[text] = f_symbol;
+    wr8(text, f_symbol);
     ++text;
     uint32_t successor = text;
-    if (text >= units_start) return exhausted();
+    if (text >= units_start) return exhausted(max_context);
 
     if (f_successor) {
       if (f_successor <= text) {
         f_successor = create_successors(false, sfx_state, 0);
-        if (!f_successor) return exhausted();
+        if (!f_successor) return exhausted(max_context);
       }
       if (--order_fall == 0) {
         successor = f_successor;
@@ -629,7 +878,10 @@ struct Model {
       set_st_succ(f_state, successor);
       ++order_fall;
       uint32_t c = mc;
+      uint32_t s1 = sfx_state;  // canonical 0x23514: first walked context
+      // reuses the suffix-update's state unbumped, then clears it
       while (true) {
+        if (corrupt) return exhausted(max_context);
         uint32_t sfx = ctx_suffix(c);
         if (!sfx) {
           f_successor = c;
@@ -637,9 +889,12 @@ struct Model {
         }
         c = sfx;
         uint32_t s;
-        if (ctx_num_stats(c) != 0) {
+        if (s1) {
+          s = s1;
+          s1 = 0;
+        } else if (ctx_num_stats(c) != 0) {
           s = stats_addr(c);
-          while (st_sym(s) != f_symbol) s += 6;
+          while (st_sym(s) != f_symbol && !corrupt) s += 6;
           if (st_freq(s) <= MAX_FREQ - 10) {
             set_st_freq(s, st_freq(s) + 2);
             set_ctx_summ(c, ctx_summ(c) + 2);
@@ -659,7 +914,7 @@ struct Model {
           found_state = s;
           uint32_t cs = create_successors(false, 0, c);
           found_state = save;
-          if (!cs) return exhausted();
+          if (!cs) return exhausted(max_context);
           set_st_succ(s, cs);
           tgt = cs;
         }
@@ -679,14 +934,14 @@ struct Model {
       if (ns1 != 1) {
         if ((ns1 & 1) == 0) {
           uint32_t new_stats = expand_units(ctx_stats(c), ns1 >> 1);
-          if (!new_stats) return exhausted();
+          if (!new_stats) return exhausted(c);
           set_ctx_stats(c, new_stats);
         }
         // disassembly 0x2344e: both operands in count-1 form
         set_ctx_summ(c, ctx_summ(c) + (3 * (ns1 - 1) + 1 < ns - 1 ? 1 : 0));
       } else {
         uint32_t new_stats = alloc_units(0);
-        if (!new_stats) return exhausted();
+        if (!new_stats) return exhausted(c);
         copy_state(new_stats, one_state(c));
         set_ctx_stats(c, new_stats);
         uint32_t freq = st_freq(new_stats);
@@ -726,7 +981,11 @@ struct Model {
       min_context = max_context = c;
       return true;
     }
-    return update_model();
+    bool ok = update_model();
+    // canonical NextContext (0x23a9c): MinContext = MaxContext after
+    // EVERY UpdateModel return (re-anchors after a cutoff restore)
+    min_context = max_context;
+    return ok;
   }
 
   bool update1(uint32_t s) {
@@ -768,7 +1027,9 @@ struct Model {
     found_state = s;
     if (st_freq(s) > MAX_FREQ) rescale();
     run_length = init_rl;
-    return update_model();
+    bool ok = update_model();
+    min_context = max_context;  // canonical Update2 tail
+    return ok;
   }
 
   // -- probability selection ------------------------------------------------
@@ -832,6 +1093,7 @@ int decode_symbol(Model& m, RangeDec& rc) {
   uint8_t mask[256];
   uint32_t num_masked;
   uint32_t mc = m.min_context;
+  if (m.corrupt || m.oob(mc, 12)) return -10;
   if (m.ctx_num_stats(mc) != 0) {
     uint32_t s = m.stats_addr(mc);
     uint32_t summ = m.ctx_summ(mc);
@@ -840,7 +1102,8 @@ int decode_symbol(Model& m, RangeDec& rc) {
     if (count < hi_cnt) {
       rc.decode(0, hi_cnt);
       int sym = m.st_sym(s);
-      if (!m.update1_0(s)) return m.exhausted_unsupported ? -11 : -10;
+      m.update1_0(s);
+      if (m.corrupt) return -10;
       return sym;
     }
     m.prev_success = 0;
@@ -860,7 +1123,8 @@ int decode_symbol(Model& m, RangeDec& rc) {
     if (have) {
       rc.decode(hi_cnt - m.st_freq(found), m.st_freq(found));
       int sym = m.st_sym(found);
-      if (!m.update1(found)) return m.exhausted_unsupported ? -11 : -10;
+      m.update1(found);
+      if (m.corrupt) return -10;
       return sym;
     }
     if (count >= summ) return -10;
@@ -880,7 +1144,8 @@ int decode_symbol(Model& m, RangeDec& rc) {
     if (rc.decode_bit(prob) == 0) {
       m.bin_update0(row, col);
       int sym = m.st_sym(one);
-      if (!m.update_bin(one)) return m.exhausted_unsupported ? -11 : -10;
+      m.update_bin(one);
+      if (m.corrupt) return -10;
       return sym;
     }
     m.bin_update1(row, col);
@@ -901,6 +1166,7 @@ int decode_symbol(Model& m, RangeDec& rc) {
       if (!nmc) return -1;
       m.min_context = nmc;
     }
+    if (m.corrupt || m.oob(nmc, 12)) return -10;
     uint32_t hi_cnt = 0;
     uint32_t s = m.stats_addr(nmc);
     uint32_t cands[256];
@@ -927,7 +1193,8 @@ int decode_symbol(Model& m, RangeDec& rc) {
       rc.decode(acc - m.st_freq(sel), m.st_freq(sel));
       m.see_update(row, col);
       int sym = m.st_sym(sel);
-      if (!m.update2(sel)) return m.exhausted_unsupported ? -11 : -10;
+      m.update2(sel);
+      if (m.corrupt) return -10;
       return sym;
     }
     if (count >= freq_sum) return -10;
@@ -956,8 +1223,7 @@ int64_t volxel_ppmd_decompress(const uint8_t* src, int64_t src_len, int order,
   while (n < out_cap) {
     int sym = decode_symbol(m, rc);
     if (sym == -1) return -3;   // early end marker
-    if (sym == -10) return -1;  // corrupt
-    if (sym == -11) return -2;  // exhausted under CUT_OFF/FREEZE
+    if (sym < 0) return -1;     // corrupt / left the valid region
     out[n++] = (uint8_t)sym;
   }
   return n;
@@ -981,8 +1247,7 @@ int64_t volxel_ppmd_decompress_to_marker(const uint8_t* src, int64_t src_len,
   while (true) {
     int sym = decode_symbol(m, rc);
     if (sym == -1) return n;
-    if (sym == -10) return -1;
-    if (sym == -11) return -2;
+    if (sym < 0) return -1;
     if (n >= out_cap) return -3;
     out[n++] = (uint8_t)sym;
   }
