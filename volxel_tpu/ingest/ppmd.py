@@ -814,6 +814,10 @@ class _Model:
             mem[p.lo_unit : p.lo_unit + 4] = b"\x00\x00\x00\x00"
         while int.from_bytes(mem[p.units_start : p.units_start + 4], "little") == 0xFFFFFFFF:
             nu = int.from_bytes(mem[p.units_start + 8 : p.units_start + 12], "little")
+            if not (1 <= nu <= 128):
+                # stale stamp over garbage: the canonical would walk into
+                # undefined memory here; surface the valid-region boundary
+                raise IndexError("corrupt free node in text-area expansion")
             mem[p.units_start : p.units_start + 4] = b"\x00\x00\x00\x00"
             count[U2I[nu - 1]] += 1
             p.units_start += nu * UNIT_SIZE
