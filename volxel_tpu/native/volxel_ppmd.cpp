@@ -460,8 +460,13 @@ struct Model {
     uint8_t fsym = st_sym(found_state);
     uint32_t ps[64];
     int n_ps = 0;
+    int hops = 0;
     if (!skip) ps[n_ps++] = found_state;
     while (ctx_suffix(c)) {
+      if (++hops > 1 << 16) {  // suffix cycle in a garbage model
+        corrupt = true;
+        return 0;
+      }
       c = ctx_suffix(c);
       uint32_t s;
       if (s1) {
@@ -469,7 +474,11 @@ struct Model {
         s1 = 0;
       } else if (ctx_num_stats(c) != 0) {
         s = stats_addr(c);
-        while (st_sym(s) != fsym && !corrupt) s += 6;
+        {
+          int steps = 0;
+          while (st_sym(s) != fsym && !corrupt && ++steps < 4096) s += 6;
+          if (steps >= 4096) corrupt = true;
+        }
         if (st_freq(s) < MAX_FREQ - 9) {
           set_st_freq(s, st_freq(s) + 1);
           set_ctx_summ(c, ctx_summ(c) + 1);
@@ -498,7 +507,11 @@ struct Model {
       up_freq = st_freq(one_state(c));
     } else {
       uint32_t s = stats_addr(c);
-      while (st_sym(s) != up_symbol && !corrupt) s += 6;
+      {
+        int steps = 0;
+        while (st_sym(s) != up_symbol && !corrupt && ++steps < 4096) s += 6;
+        if (steps >= 4096) corrupt = true;
+      }
       uint32_t cf = (uint32_t)st_freq(s) - 1;
       uint32_t s0 = (uint32_t)ctx_summ(c) - ctx_num_stats(c) - cf;
       up_freq = 1 + (2 * cf <= s0 ? (uint32_t)(5 * cf > s0)
@@ -833,7 +846,9 @@ struct Model {
       } else {
         s = stats_addr(c);
         if (st_sym(s) != f_symbol) {
-          while (st_sym(s) != f_symbol && !corrupt) s += 6;
+          int steps = 0;
+          while (st_sym(s) != f_symbol && !corrupt && ++steps < 4096) s += 6;
+          if (steps >= 4096) corrupt = true;
           if (st_freq(s) >= st_freq(s - 6)) {
             swap_states(s, s - 6);
             s -= 6;
@@ -880,8 +895,12 @@ struct Model {
       uint32_t c = mc;
       uint32_t s1 = sfx_state;  // canonical 0x23514: first walked context
       // reuses the suffix-update's state unbumped, then clears it
+      int walk_hops = 0;
       while (true) {
-        if (corrupt) return exhausted(max_context);
+        if (corrupt || ++walk_hops > 1 << 16) {
+          corrupt = true;
+          return exhausted(max_context);
+        }
         uint32_t sfx = ctx_suffix(c);
         if (!sfx) {
           f_successor = c;
@@ -894,7 +913,9 @@ struct Model {
           s1 = 0;
         } else if (ctx_num_stats(c) != 0) {
           s = stats_addr(c);
-          while (st_sym(s) != f_symbol && !corrupt) s += 6;
+          int steps = 0;
+          while (st_sym(s) != f_symbol && !corrupt && ++steps < 4096) s += 6;
+          if (steps >= 4096) corrupt = true;
           if (st_freq(s) <= MAX_FREQ - 10) {
             set_st_freq(s, st_freq(s) + 2);
             set_ctx_summ(c, ctx_summ(c) + 2);
@@ -1155,12 +1176,15 @@ int decode_symbol(Model& m, RangeDec& rc) {
     num_masked = 1;
   }
 
+  int esc_hops = 0;
   while (true) {
+    if (++esc_hops > 1 << 16) return -10;  // suffix cycle
     ++m.order_fall;
     uint32_t nmc = m.ctx_suffix(m.min_context);
     if (!nmc) return -1;
     m.min_context = nmc;
     while ((uint32_t)m.ctx_num_stats(nmc) + 1 == num_masked) {
+      if (++esc_hops > 1 << 16) return -10;
       ++m.order_fall;
       nmc = m.ctx_suffix(nmc);
       if (!nmc) return -1;
