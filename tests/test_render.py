@@ -334,3 +334,29 @@ def test_physical_majorant_fixes_dda_bright_bias():
     assert gap_env < 0.5 * gap_plain, (
         f"envelope left {gap_env:.4f} of a {gap_plain:.4f} gap"
     )
+
+
+def test_warmup_low_res_preview(grid):
+    """settings.warmup_low_res replicates the reference's responsiveness
+    drop (0.33 resolutionFactor for the first 5 frames,
+    viewer.ts:132,1185-1188): warm-up frames produce a display-only
+    low-res preview, and the CONVERGED accumulation is bit-identical to
+    the full-res path (warm-up samples have zero weight either way)."""
+    imgs = {}
+    fbs = {}
+    for warm in (False, True):
+        r = _renderer(grid, size=24, bounces=1)
+        r.settings.warmup_low_res = warm
+        for i in range(3):
+            r.render_frame()
+        imgs[warm] = r.image()
+        # continue past warm-up: accumulation must converge identically
+        for i in range(3, 8):
+            r.render_frame()
+        fbs[warm] = np.asarray(r._framebuffer)
+        assert r.image().shape == (24, 24, 3)
+    # during warm-up the preview is a different (coarser) picture
+    assert imgs[True].shape == imgs[False].shape
+    assert not np.array_equal(imgs[True], imgs[False])
+    # and the post-warm-up accumulation is bit-identical
+    np.testing.assert_array_equal(fbs[True], fbs[False])

@@ -77,6 +77,7 @@ class Renderer:
         self.frame_index = 0
         self._framebuffer = jnp.zeros((self.height * self.width, 3), jnp.float32)
         self._cached_operands = None
+        self._warmup_preview = None
 
         # error handling (viewer.ts:797-821): a failed load suspends
         # rendering and gates further restarts until cleared
@@ -249,6 +250,37 @@ class Renderer:
         # restartRendering semantics), so the cached device operands for
         # the jitted render are invalidated exactly when they can change
         self._cached_operands = None
+
+    def _render_warmup_preview(self) -> None:
+        """One low-res warm-up sample (0.33 resolutionFactor) into the
+        display-only preview buffer; each frame replaces the previous
+        (the reference's warm-up frames have sample_weight 0)."""
+        full = self._config()
+        w = max(1, round(full.width * 0.33))
+        h = max(1, round(full.height * 0.33))
+        config = full._replace(
+            width=w, height=h, chunk_size=self._pick_chunk_size(w * h)
+        )
+        inv_view = jnp.asarray(
+            np.linalg.inv(self.camera.view_matrix()).astype(np.float32)
+        )
+        inv_proj = jnp.asarray(
+            np.linalg.inv(self.camera.proj_matrix(full.width / full.height)).astype(
+                np.float32
+            )
+        )
+        sample = render_sample(
+            config,
+            self._device_grid,
+            self.volume_params(),
+            self._lut,
+            self.environment.state,
+            inv_view,
+            inv_proj,
+            jnp.asarray(self.settings.light_dir, jnp.float32),
+            jnp.uint32(self.frame_index),
+        )
+        self._warmup_preview = (w, h, sample)
 
     def _render_dims(self) -> tuple[int, int]:
         factor = float(self.settings.resolution_factor)
@@ -489,6 +521,19 @@ class Renderer:
         if self.suspend:
             return self._framebuffer
         config = self._config()
+        if (
+            self.settings.warmup_low_res
+            and self.frame_index < LOW_RESOLUTION_DURATION
+        ):
+            # reference warm-up (viewer.ts:132,1185-1188): the first 5
+            # frames render at 0.33 resolution. They have zero
+            # accumulation weight, so only the displayed preview is
+            # affected; the main framebuffer starts at sample 5 exactly
+            # as in the full-res path.
+            self._render_warmup_preview()
+            self.frame_index += 1
+            return self._framebuffer
+        self._warmup_preview = None
         n = config.width * config.height
         if self._framebuffer.shape[0] != n:
             self._framebuffer = jnp.zeros((n, 3), jnp.float32)
@@ -567,11 +612,25 @@ class Renderer:
         from volxel_tpu.render.pallas_ops import tonemap_display
 
         config = self._config()
-        img = tonemap_display(
-            self._framebuffer, self.settings.exposure, self.settings.gamma
-        )
-        img = np.asarray(img).reshape(config.height, config.width, 3)
-        img = img[::-1]  # GL row 0 is the bottom
+        preview = getattr(self, "_warmup_preview", None)
+        if preview is not None and self.frame_index <= LOW_RESOLUTION_DURATION:
+            # warm-up display: upsample the low-res preview to full size
+            w, h, sample = preview
+            img = tonemap_display(
+                sample, self.settings.exposure, self.settings.gamma
+            )
+            img = np.asarray(img).reshape(h, w, 3)[::-1]
+            ry = -(-config.height // h)
+            rx = -(-config.width // w)
+            img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)[
+                : config.height, : config.width
+            ]
+        else:
+            img = tonemap_display(
+                self._framebuffer, self.settings.exposure, self.settings.gamma
+            )
+            img = np.asarray(img).reshape(config.height, config.width, 3)
+            img = img[::-1]  # GL row 0 is the bottom
         if show_clipping and self.volume is not None:
             from volxel_tpu.utils.overlay import draw_clip_box
 

@@ -55,6 +55,12 @@ class ViewerSettings:
     # shadows) instead of the reference's binary-shadow quirk
     physical_shadows: bool = False
     physical_majorant: bool = False
+    # replicate the reference's warm-up responsiveness drop: the first 5
+    # samples render at 0.33 resolution (viewer.ts:132,1185-1188). They
+    # carry zero accumulation weight either way, so the converged image
+    # is identical; off by default (the DVR drag preview covers
+    # interactivity, and enabling costs one extra jit specialization)
+    warmup_low_res: bool = False
     # extension: true equirect solid-angle env pdf on both MIS sides
     # (consistent NEE estimator) instead of the reference's 1/(4*pi)
     physical_pdf: bool = False
