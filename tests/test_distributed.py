@@ -64,3 +64,20 @@ def test_distributed_render_uses_mesh(grid):
     assert dist.samples_rendered() == 8
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all()
+
+
+def test_distributed_vz_tap_dtype(grid):
+    """The vz_tap_dtype option threads through DistributedRenderer's slab
+    rebuild into the sharded render fn (the payload/drift properties are
+    pinned in test_volshard; this pins the user-facing plumbing)."""
+    dist = _setup(
+        DistributedRenderer(
+            width=16, height=16, sp=1, px=2, vz=4, vz_tap_dtype="bfloat16"
+        ),
+        grid,
+    )
+    dist.render_frame()
+    assert dist._slabbed is not None
+    assert dist._slabbed.tap_dtype == "bfloat16"
+    img = dist.image()
+    assert np.isfinite(img).all()
