@@ -149,29 +149,63 @@ def synthetic_ct_volume(
     non-constant where occupied.
     """
     z, y, x = size
-    zz = np.arange(z, dtype=np.float32)[:, None, None]
-    yy = np.arange(y, dtype=np.float32)[None, :, None]
-    xx = np.arange(x, dtype=np.float32)[None, None, :]
     cz, cy, cx = (z - 1) / 2, (y - 1) / 2, (x - 1) / 2
-    r = np.sqrt(
-        ((xx - cx) / (x * 0.45)) ** 2
-        + ((yy - cy) / (y * 0.45)) ** 2
-        + ((zz - cz) / (z * 0.45)) ** 2
-    )
-    inside = r < 1.0
-    density = 0.25 * inside
-    density += 0.25 * (r < 0.7)
-    density += 0.4 * (r < 0.35)
-    rng = np.random.default_rng(seed)
-    # float32 draws: the float64 path cost ~40 s at 512^3 (BENCH_r02's
-    # 214 s setup); this keeps bench.py well inside the driver's budget
-    noise = rng.random(size, dtype=np.float32)
-    noise *= 0.05
-    density += noise * inside
-    np.clip(density, 0.0, 1.0, out=density)
     max_val = (1 << bits_stored) - 1
-    density *= max_val
-    return density.astype(np.uint16)
+    rng = np.random.default_rng(seed)
+    out = np.empty((z, y, x), np.uint16)
+    # slab-wise with squared radii: the broadcast-whole-volume form
+    # materialized five 512 MB f32 temporaries (sqrt + three compares) and
+    # page-faulted for 13-85 s at 512^3 in driver runs (BENCH r4 setup
+    # attribution); this form stays cache-resident per slab and skips the
+    # sqrt entirely. Values are identical: r < t  <=>  r^2 < t^2.
+    yy2 = (
+        ((np.arange(y, dtype=np.float32) - np.float32(cy)) / np.float32(y * 0.45))
+        ** 2
+    )[:, None]
+    xx2 = (
+        (np.arange(x, dtype=np.float32) - np.float32(cx)) / np.float32(x * 0.45)
+    ) ** 2
+    yx2 = yy2 + xx2  # (y, x)
+    # Perf shape for this environment (measured, BENCH r4 setup
+    # attribution): (a) float64 numpy ops run ~400x slower than float32
+    # on this host, and Python-float constants silently promote — keep
+    # every constant np.float32; (b) the Firecracker VM makes first-touch
+    # page faults expensive, so fresh temporaries per slab cost tens of
+    # seconds at 512^3 — preallocate every buffer once and compute with
+    # out= ufuncs. Together: 85 s -> ~2 s.
+    f = np.float32
+    slab = min(32, z)
+    shape = (slab, y, x)
+    r2 = np.empty(shape, np.float32)
+    density = np.empty(shape, np.float32)
+    tmp = np.empty(shape, np.float32)
+    mask = np.empty(shape, np.bool_)
+    quant = np.empty(shape, np.uint16)
+    for z0 in range(0, z, slab):
+        z1 = min(z0 + slab, z)
+        k = z1 - z0
+        zz2 = (
+            ((np.arange(z0, z1, dtype=np.float32) - f(cz)) / f(z * 0.45)) ** 2
+        )[:, None, None]
+        np.add(zz2, yx2[None, :, :], out=r2[:k])
+        np.less(r2[:k], f(1.0), out=mask[:k])  # inside the outer shell
+        np.multiply(mask[:k], f(0.25), out=density[:k], dtype=np.float32)
+        np.less(r2[:k], f(0.49), out=mask[:k])
+        np.multiply(mask[:k], f(0.25), out=tmp[:k], dtype=np.float32)
+        density[:k] += tmp[:k]
+        np.less(r2[:k], f(0.1225), out=mask[:k])
+        np.multiply(mask[:k], f(0.4), out=tmp[:k], dtype=np.float32)
+        density[:k] += tmp[:k]
+        rng.random((k, y, x), dtype=np.float32, out=tmp[:k])
+        tmp[:k] *= f(0.05)
+        np.less(r2[:k], f(1.0), out=mask[:k])
+        tmp[:k] *= mask[:k]
+        density[:k] += tmp[:k]
+        np.clip(density[:k], f(0.0), f(1.0), out=density[:k])
+        density[:k] *= f(max_val)
+        np.copyto(quant[:k], density[:k], casting="unsafe")
+        out[z0:z1] = quant[:k]
+    return out
 
 
 def synthetic_env_hdr(width: int = 64, height: int = 32) -> bytes:
