@@ -134,7 +134,11 @@ class _RangeEncoder:
         self.low, self.range = low, rng
 
     def encode(self, start, size, total):
+        if size <= 0 or total <= 0:
+            raise PpmdError("corrupt PPMd model state (zero width/total)")
         r = self.range // total
+        if r == 0:
+            raise PpmdError("corrupt PPMd model state (range underflow)")
         self.low = (self.low + start * r) & M32
         self.range = r * size
         self._normalize()
@@ -188,15 +192,21 @@ class _RangeDecoder:
         self.low, self.range, self.code = low, rng, code
 
     def threshold(self, total):
+        # a garbage context (reachable only on corrupt streams) can carry
+        # summ 0; and range >= 2^15 after normalization can still fall
+        # below an inflated escape freq_sum — both would divide by zero
+        if total <= 0:
+            raise PpmdError("corrupt PPMd stream (zero total)")
         self.range //= total
-        # range >= 2^15 after normalization, but a corrupt stream can
-        # inflate an escape context's freq_sum past it — guard the
-        # division (the callers' count >= total checks then reject)
         if self.range == 0:
             raise PpmdError("corrupt PPMd stream (range underflow)")
         return ((self.code - self.low) & M32) // self.range
 
     def decode(self, start, size):
+        if size <= 0:
+            # zero-width symbol (corrupt stream): range would collapse to
+            # 0 and the normalization loop below would never terminate
+            raise PpmdError("corrupt PPMd stream (zero symbol width)")
         self.low = (self.low + start * self.range) & M32
         self.range *= size
         self._normalize()

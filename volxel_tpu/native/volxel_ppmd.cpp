@@ -77,6 +77,7 @@ struct RangeDec {
   const uint8_t* data;
   int64_t len, pos;
   uint32_t low, range, code;
+  bool bad = false;  // zero-width symbol / zero total on a corrupt stream
 
   void init(const uint8_t* d, int64_t n) {
     data = d;
@@ -102,15 +103,24 @@ struct RangeDec {
     }
   }
   uint32_t threshold(uint32_t total) {
+    // garbage contexts on corrupt streams can carry total == 0, and an
+    // inflated escape freq_sum can exceed the normalized range — either
+    // would divide by zero. Returning UINT32_MAX makes every caller
+    // take its >= total corrupt branch.
+    if (total == 0) {
+      bad = true;
+      return 0xFFFFFFFFu;
+    }
     range /= total;
-    // range >= 2^15 after normalize, but a (corrupt) escape context can
-    // push total past it; a zero quotient here would divide by zero.
-    // Returning UINT32_MAX makes every caller take its >=total corrupt
-    // branch.
     if (range == 0) return 0xFFFFFFFFu;
     return (code - low) / range;
   }
   void decode(uint32_t start, uint32_t size) {
+    if (size == 0) {
+      // range would collapse to 0 and normalize() would never terminate
+      bad = true;
+      return;
+    }
     low += start * range;
     range *= size;
     normalize();
@@ -1114,7 +1124,7 @@ int decode_symbol(Model& m, RangeDec& rc) {
   uint8_t mask[256];
   uint32_t num_masked;
   uint32_t mc = m.min_context;
-  if (m.corrupt || m.oob(mc, 12)) return -10;
+  if (m.corrupt || rc.bad || m.oob(mc, 12)) return -10;
   if (m.ctx_num_stats(mc) != 0) {
     uint32_t s = m.stats_addr(mc);
     uint32_t summ = m.ctx_summ(mc);
