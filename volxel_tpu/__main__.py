@@ -22,6 +22,25 @@ from pathlib import Path
 import numpy as np
 
 
+def _apply_setting_override(settings, kv: str) -> None:
+    """--set key=value with type coercion from the field's current type."""
+    key, eq, raw = kv.partition("=")
+    if not eq or not hasattr(settings, key):
+        raise SystemExit(f"unknown setting override {kv!r}")
+    current = getattr(settings, key)
+    if isinstance(current, bool):
+        value = raw.lower() in ("1", "true", "yes", "on")
+    elif isinstance(current, int):
+        value = int(raw)
+    elif isinstance(current, float):
+        value = float(raw)
+    elif isinstance(current, (list, tuple)):
+        value = [float(v) for v in raw.split(",")]
+    else:
+        value = raw
+    setattr(settings, key, value)
+
+
 def _load_volume(args, renderer) -> None:
     if args.zip:
         renderer.restart_from_zip(Path(args.zip).read_bytes())
@@ -71,6 +90,8 @@ def cmd_render(args) -> None:
         r.render_mode = args.mode
     if args.samples:
         r.settings.max_samples = args.samples
+    for kv in args.set:
+        _apply_setting_override(r.settings, kv)
     if args.camera_orbit:
         yaw, pitch, zoom = (float(v) for v in args.camera_orbit.split(","))
         r.camera.rotate_around_view(yaw, pitch)
@@ -191,6 +212,14 @@ def main(argv=None) -> None:
     p.add_argument("--size", default="512x512", help="WxH viewport")
     p.add_argument("--samples", type=int, help="override sample count")
     p.add_argument("--camera-orbit", help="yaw,pitch,zoom")
+    p.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="override any ViewerSettings field, incl. the extension "
+        "flags (e.g. --set physical_majorant=true --set bounces=3)",
+    )
     p.add_argument("--out", default="render.png")
     p.add_argument("--progress", action="store_true")
     p.set_defaults(fn=cmd_render)
