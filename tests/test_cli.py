@@ -45,6 +45,20 @@ def test_cli_render_rejects_unknown_override(scan_zip, tmp_path):
         ])
 
 
+def test_cli_set_rejects_non_field_attributes():
+    """--set must validate against dataclass FIELDS, not hasattr: methods
+    and other non-field attributes are not overridable (advisor r3)."""
+    from volxel_tpu.__main__ import _apply_setting_override
+    from volxel_tpu.api.settings import ViewerSettings
+
+    s = ViewerSettings()
+    for bad in ("export_settings=x", "__class__=y", "bounces"):
+        with pytest.raises(SystemExit):
+            _apply_setting_override(s, bad)
+    _apply_setting_override(s, "bounces=3")
+    assert s.bounces == 3
+
+
 def test_cli_ingest_info(scan_zip, capsys):
     main(["ingest", "--zip", str(scan_zip)])
     out = capsys.readouterr().out

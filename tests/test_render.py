@@ -360,3 +360,35 @@ def test_warmup_low_res_preview(grid):
     assert not np.array_equal(imgs[True], imgs[False])
     # and the post-warm-up accumulation is bit-identical
     np.testing.assert_array_equal(fbs[True], fbs[False])
+
+
+def test_render_batched_with_warmup_low_res(grid):
+    """Regression (advisor r3, medium): Renderer.render(samples > 6) with
+    warmup_low_res=True crashed — the cache-priming render_frame() took the
+    warm-up preview branch and never built _cached_operands. The batched
+    render must work and match the warmup-off batched render bit-exactly
+    (warm-up frames are display-only)."""
+    imgs = {}
+    for warm in (False, True):
+        r = _renderer(grid, size=24, bounces=1)
+        r.settings.warmup_low_res = warm
+        imgs[warm] = r.render(samples=9)
+    np.testing.assert_array_equal(imgs[True], imgs[False])
+
+
+def test_compact_secondary_bit_identical(grid):
+    """RenderConfig.compact_secondary (sorted half-width secondary
+    wavefront) is advertised bit-identical in docs/PARITY.md — pin it.
+    The guarantee rests on the per-lane masked-RNG invariant: compaction
+    only permutes lanes, every lane's draw sequence is a function of its
+    own state (render/rng.py), so any reordering renders the same image."""
+    from volxel_tpu.render.pathtrace import render_sample
+
+    r = _renderer(grid, size=24, bounces=3)
+    r.render_frame()  # build operands
+    config, *rest = r._cached_operands
+    images = {}
+    for flag in (False, True):
+        cfg = config._replace(compact_secondary=flag)
+        images[flag] = np.asarray(render_sample(cfg, *rest, jnp.uint32(7)))
+    np.testing.assert_array_equal(images[True], images[False])

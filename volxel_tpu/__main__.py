@@ -24,8 +24,11 @@ import numpy as np
 
 def _apply_setting_override(settings, kv: str) -> None:
     """--set key=value with type coercion from the field's current type."""
+    import dataclasses
+
     key, eq, raw = kv.partition("=")
-    if not eq or not hasattr(settings, key):
+    field_names = {f.name for f in dataclasses.fields(settings)}
+    if not eq or key not in field_names:
         raise SystemExit(f"unknown setting override {kv!r}")
     current = getattr(settings, key)
     if isinstance(current, bool):

@@ -492,6 +492,39 @@ class Renderer:
         )
         return np.asarray(img)
 
+    def _operand_grid(self):
+        """The grid operand for jitted renders (hook: DistributedRenderer
+        returns the slab-sharded volume when vz > 1)."""
+        return self._device_grid
+
+    def _prime_operands(self, config: RenderConfig):
+        """Build (or return) the cached device operand tuple.
+
+        Factored out of render_frame so batch paths can prime the cache
+        without triggering the warm-up preview branch (which renders a
+        display-only low-res frame and never builds operands)."""
+        if self._cached_operands is None:
+            # upload scene uniforms once per state change, not per frame —
+            # per-frame host->device puts dominate on tunneled backends
+            w, h = config.width, config.height
+            inv_view = jnp.asarray(
+                np.linalg.inv(self.camera.view_matrix()).astype(np.float32)
+            )
+            inv_proj = jnp.asarray(
+                np.linalg.inv(self.camera.proj_matrix(w / h)).astype(np.float32)
+            )
+            self._cached_operands = (
+                config,
+                self._operand_grid(),
+                self.volume_params(),
+                self._lut,
+                self.environment.state,
+                inv_view,
+                inv_proj,
+                jnp.asarray(self.settings.light_dir, jnp.float32),
+            )
+        return self._cached_operands
+
     def maybe_sync_light(self) -> None:
         """Backlight mode (viewer.ts:789-795): when syncLightDir is on,
         the light points from the camera toward the look-at target."""
@@ -538,26 +571,7 @@ class Renderer:
         if self._framebuffer.shape[0] != n:
             self._framebuffer = jnp.zeros((n, 3), jnp.float32)
 
-        if self._cached_operands is None:
-            # upload scene uniforms once per state change, not per frame —
-            # per-frame host->device puts dominate on tunneled backends
-            w, h = config.width, config.height
-            inv_view = jnp.asarray(
-                np.linalg.inv(self.camera.view_matrix()).astype(np.float32)
-            )
-            inv_proj = jnp.asarray(
-                np.linalg.inv(self.camera.proj_matrix(w / h)).astype(np.float32)
-            )
-            self._cached_operands = (
-                config,
-                self._device_grid,
-                self.volume_params(),
-                self._lut,
-                self.environment.state,
-                inv_view,
-                inv_proj,
-                jnp.asarray(self.settings.light_dir, jnp.float32),
-            )
+        self._prime_operands(config)
         fi = jnp.uint32(self.frame_index)
         sample = render_sample(*self._cached_operands, fi)
         self._framebuffer = accumulate_progressive(self._framebuffer, sample, fi)
@@ -582,11 +596,16 @@ class Renderer:
                 self.render_frame()
             return self.image()
 
-        # prime operand cache (and shape-check the accumulator)
-        if self._cached_operands is None:
-            self.render_frame()
-            self.frame_index = 0
-        operands = self._cached_operands
+        # prime operand cache (and shape-check the accumulator). NOT via
+        # render_frame(): with warmup_low_res its first frames take the
+        # preview branch and never build operands (advisor r3 finding).
+        if self._device_grid is None:
+            raise RuntimeError("No volume loaded")
+        config = self._config()
+        n = config.width * config.height
+        if self._framebuffer.shape[0] != n:
+            self._framebuffer = jnp.zeros((n, 3), jnp.float32)
+        operands = self._prime_operands(config)
 
         first = WARMUP_SAMPLES
         count = 0

@@ -57,6 +57,8 @@ class DistributedRenderer(Renderer):
             )
         return self._slabbed
 
+    _operand_grid = _render_grid  # shared operand-priming hook (api.renderer)
+
     def render_frame(self):
         """One sharded step = `sp` progressive samples, mean-combined.
 
@@ -79,25 +81,7 @@ class DistributedRenderer(Renderer):
         if self._framebuffer.shape[0] != n:
             self._framebuffer = jnp.zeros((n, 3), jnp.float32)
 
-        if self._cached_operands is None:
-            w, h = config.width, config.height
-            inv_view = jnp.asarray(
-                np.linalg.inv(self.camera.view_matrix()).astype(np.float32)
-            )
-            inv_proj = jnp.asarray(
-                np.linalg.inv(self.camera.proj_matrix(w / h)).astype(np.float32)
-            )
-            self._cached_operands = (
-                config,
-                self._render_grid(),
-                self.volume_params(),
-                self._lut,
-                self.environment.state,
-                inv_view,
-                inv_proj,
-                jnp.asarray(self.settings.light_dir, jnp.float32),
-            )
-
+        self._prime_operands(config)
         config = self._cached_operands[0]
         # the sharded call renders samples [f*sp, f*sp + sp) for step f
         step = self.frame_index
