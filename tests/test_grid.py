@@ -183,3 +183,37 @@ def test_packed_exports(grid):
     np.testing.assert_array_equal(hi, grid.range_hi)
     ptrs = decode_ptr(grid.packed_indirection())
     np.testing.assert_array_equal(ptrs, grid.indirection)
+
+
+def test_device_decode_bit_parity(small_volume, grid):
+    """The on-device atlas->dense decoder (_decode_dense_device) must be
+    bit-identical to the host decode_dense path: device_grid_from_brick
+    defaults to device decode (VERDICT r3 item 2 — ships u8 atlas bytes
+    instead of the bf16 field), so any drift would silently change every
+    render. Same f32 op sequence, cast to bf16 at the end."""
+    import numpy as np
+
+    from volxel_tpu.render.sampling import device_grid_from_brick
+
+    dev = device_grid_from_brick(grid, dense=True, decode_on_device=True)
+    host = device_grid_from_brick(grid, dense=True, decode_on_device=False)
+    a = np.asarray(dev.dense, dtype=np.float32)
+    b = np.asarray(host.dense, dtype=np.float32)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+    assert a.max() > 0  # non-trivial content decoded
+
+
+def test_decode_brick_rows_matches_full(small_volume, grid):
+    """decode_dense_brick_rows (the out-of-core slab decoder) must be
+    bitwise equal to the corresponding slice of the full decode for every
+    brick-row subrange — it feeds the vz capacity path."""
+    import numpy as np
+
+    from volxel_tpu.render.sampling import decode_dense, decode_dense_brick_rows
+
+    full = decode_dense(grid)
+    bz = grid.brick_count[2]
+    for b0, b1 in [(0, bz), (0, 1), (bz - 1, bz), (1, 3), (2, 2)]:
+        rows = decode_dense_brick_rows(grid, b0, b1)
+        np.testing.assert_array_equal(rows, full[b0 * 8 : b1 * 8])

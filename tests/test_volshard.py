@@ -232,3 +232,63 @@ def test_slab_bf16_tap_payload(grid):
     assert np.isfinite(images["bfloat16"]).all()
     assert diff.max() < 0.1, f"bf16 tap drift too large: {diff.max()}"
     assert np.mean(diff) < 5e-3
+
+
+def test_slab_from_brick_bit_identical_blocks(grid):
+    """build_slabbed_volume_from_brick (out-of-core: per-slab host decode,
+    no full-field materialization) produces a dense_halo BITWISE equal to
+    build_slabbed_volume of the fully-decoded replicated field."""
+    from volxel_tpu.parallel.volshard import build_slabbed_volume_from_brick
+
+    mesh = make_mesh(sp=1, px=2, vz=4)
+    via_dense = build_slabbed_volume(device_grid_from_brick(grid), mesh)
+    via_brick = build_slabbed_volume_from_brick(grid, mesh)
+    a = np.asarray(via_dense.dense_halo, dtype=np.float32)
+    b = np.asarray(via_brick.dense_halo, dtype=np.float32)
+    np.testing.assert_array_equal(a, b)
+    # replicated metadata carries only what SlabGrid reads; nothing
+    # volume-sized (atlas) rides along replicated
+    assert via_brick.meta.atlas.size == 0
+    assert via_brick.meta.dense is None
+    np.testing.assert_array_equal(
+        np.asarray(via_brick.meta.maj_mips), np.asarray(via_dense.meta.maj_mips)
+    )
+
+
+def test_capacity_load_path_no_full_field(grid, monkeypatch):
+    """The advertised vz capacity use (volumes beyond one chip's HBM,
+    north-star configs[4]) is actually reachable: with an artificially
+    tiny dense budget AND every full-field decode path disabled, a vz>1
+    DistributedRenderer still loads the volume (per-slab decode only),
+    holds only slab-sized shards per device, and renders bit-identically
+    to the replicated dense-field renderer."""
+    import volxel_tpu.render.sampling as sampling
+
+    def _boom(*a, **k):
+        raise AssertionError("full dense field materialized — capacity path broken")
+
+    # replicated comparison FIRST (it legitimately uses the full decode)
+    rep = _setup(
+        DistributedRenderer(
+            width=16, height=16,
+            mesh=make_mesh(sp=1, px=2, devices=jax.devices()[:2]),
+        ),
+        grid,
+    )
+    a = np.asarray(rep.render_frame())
+
+    monkeypatch.setattr(sampling, "decode_dense", _boom)
+    monkeypatch.setattr(sampling, "_decode_dense_jit", _boom)
+    monkeypatch.setattr(sampling, "DENSE_BUDGET_BYTES", 1024)
+
+    slab = _setup(DistributedRenderer(width=16, height=16, sp=1, px=2, vz=4), grid)
+    b = np.asarray(slab.render_frame())
+    np.testing.assert_array_equal(a, b)
+
+    sv = slab._slabbed
+    full_bytes = int(np.prod([d * 8 for d in grid.brick_count])) * 2  # bf16
+    for shard in sv.dense_halo.addressable_shards:
+        assert shard.data.nbytes < full_bytes, (
+            f"device shard {shard.data.nbytes}B is not smaller than the "
+            f"full field {full_bytes}B"
+        )

@@ -25,8 +25,16 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import numpy as np
+
 from volxel_tpu.parallel.slab import _halo_exchange_z
-from volxel_tpu.render.sampling import SLAB_HALO, DeviceGrid, SlabGrid
+from volxel_tpu.render.sampling import (
+    SLAB_HALO,
+    DeviceGrid,
+    SlabGrid,
+    build_majorant_pyramid,
+    decode_dense_brick_rows,
+)
 from volxel_tpu.utils.mathutil import div_round_up
 
 
@@ -93,8 +101,10 @@ def build_slabbed_volume(
     """
     if grid.dense is None:
         raise ValueError(
-            "volume sharding requires the dense decoded field "
-            "(device_grid_from_brick(dense=True))"
+            "volume sharding from a DeviceGrid requires the dense decoded "
+            "field (device_grid_from_brick(dense=True)); for volumes too "
+            "large to decode on one device use "
+            "build_slabbed_volume_from_brick(host_brick_grid, mesh)"
         )
     n = mesh.shape[axis]
     z, y, x = grid.dense.shape
@@ -115,4 +125,73 @@ def build_slabbed_volume(
     )
     dense_halo = jax.jit(fn)(dense)
     meta = grid._replace(dense=None)
+    return SlabbedVolume(dense_halo, meta, axis, tap_dtype)
+
+
+def build_slabbed_volume_from_brick(
+    grid,
+    mesh: Mesh,
+    axis: str = "vz",
+    tap_dtype: str = "float32",
+    maj_dtype: str = "float32",
+) -> SlabbedVolume:
+    """Build a SlabbedVolume DIRECTLY from a host BrickGrid — the
+    out-of-core load path (north-star configs[4], BASELINE.md:27-28).
+
+    Unlike build_slabbed_volume, the full dense field is NEVER
+    materialized anywhere: each device's halo'd z-slab is decoded on host
+    from just its brick rows (decode_dense_brick_rows — peak host memory
+    one slab) and placed on its owner via jax.make_array_from_callback.
+    Boundary halos are zero, exactly what _halo_exchange_z's edge devices
+    receive, and slab interiors decode the same per-voxel math — so the
+    result is BIT-IDENTICAL to build_slabbed_volume of the replicated
+    dense field (pinned by tests/test_volshard.py). The replicated
+    metadata keeps only what SlabGrid reads (majorant pyramid + extent);
+    atlas/ranges/ptr are empty so nothing volume-sized rides along
+    replicated.
+
+    `grid` is a grid.brick.BrickGrid (host side).
+    """
+    import ml_dtypes
+
+    bx, by, bz = grid.brick_count
+    z, y, x = bz * 8, by * 8, bx * 8
+    n = mesh.shape[axis]
+    slab = div_round_up(z, n)
+    local_z = slab + 2 * SLAB_HALO
+    shape = (n * local_z, y, x)
+    sharding = NamedSharding(mesh, P(axis, None, None))
+
+    cache: dict[int, np.ndarray] = {}
+
+    def _block(d: int) -> np.ndarray:
+        if d not in cache:
+            z0 = d * slab - SLAB_HALO
+            z1 = d * slab + slab + SLAB_HALO
+            blk = np.zeros((local_z, y, x), ml_dtypes.bfloat16)
+            zlo, zhi = max(z0, 0), min(z1, z)
+            if zlo < zhi:
+                b0, b1 = zlo >> 3, (zhi + 7) >> 3
+                rows = decode_dense_brick_rows(grid, b0, b1)
+                blk[zlo - z0 : zhi - z0] = rows[zlo - b0 * 8 : zhi - b0 * 8]
+            cache[d] = blk
+        return cache[d]
+
+    def _callback(index):
+        start = index[0].start or 0
+        return _block(start // local_z)
+
+    dense_halo = jax.make_array_from_callback(shape, sharding, _callback)
+    cache.clear()
+
+    maj = build_majorant_pyramid(grid, maj_dtype)
+    meta = DeviceGrid(
+        atlas=jnp.zeros((0, 0, 0), jnp.uint8),
+        range_lo=jnp.zeros((0, 0, 0), jnp.float32),
+        range_hi=jnp.zeros((0, 0, 0), jnp.float32),
+        ptr=jnp.zeros((0, 0, 0, 3), jnp.int32),
+        maj_mips=jnp.asarray(maj),
+        extent=jnp.asarray(np.array(grid.index_extent, np.int32)),
+        dense=None,
+    )
     return SlabbedVolume(dense_halo, meta, axis, tap_dtype)

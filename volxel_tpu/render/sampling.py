@@ -89,6 +89,99 @@ def decode_dense(grid: BrickGrid, dtype=np.float32) -> np.ndarray:
     return dense.astype(dtype)
 
 
+def decode_dense_brick_rows(
+    grid: BrickGrid, b0: int, b1: int, dtype=np.float32
+) -> np.ndarray:
+    """Decode brick z-rows [b0, b1) to dense voxels — bitwise equal to
+    `decode_dense(grid)[b0*8 : b1*8]` (pinned by tests/test_grid.py).
+
+    The out-of-core building block (VERDICT r3 item 1): a z-slab of a
+    beyond-budget volume decodes without ever materializing the full dense
+    field on host or device. Peak host memory is O((b1-b0) * Y * X).
+    """
+    bx, by, bz = grid.brick_count
+    nb = b1 - b0
+    out_shape = (nb * 8, by * 8, bx * 8)
+    if nb <= 0:
+        return np.zeros((0,) + out_shape[1:], dtype)
+    ptr = grid.indirection[b0:b1].reshape(-1, 3).astype(np.int64)
+    lo = grid.range_lo[b0:b1].reshape(-1, 1, 1, 1)
+    hi = grid.range_hi[b0:b1].reshape(-1, 1, 1, 1)
+    occupied = (grid.range_lo[b0:b1] != grid.range_hi[b0:b1]).ravel()
+    if grid.atlas.size:
+        dz, dy, dx = np.meshgrid(
+            np.arange(8), np.arange(8), np.arange(8), indexing="ij"
+        )
+        # direct per-brick atlas window: atlas[pz*8+dz, py*8+dy, px*8+dx]
+        # is elementwise identical to decode_dense's atlas_bricks[slot]
+        # (same z-major slot layout); coords clipped for unoccupied bricks
+        # whose ptr may be stale — their values are masked out below.
+        az = np.clip(ptr[:, 2, None, None, None] * 8 + dz, 0, grid.atlas.shape[0] - 1)
+        ay = np.clip(ptr[:, 1, None, None, None] * 8 + dy, 0, grid.atlas.shape[1] - 1)
+        ax = np.clip(ptr[:, 0, None, None, None] * 8 + dx, 0, grid.atlas.shape[2] - 1)
+        raw = grid.atlas[az, ay, ax].astype(np.float32)
+    else:
+        raw = np.zeros((len(ptr), 8, 8, 8), np.float32)
+    voxels = np.where(occupied[:, None, None, None], raw, 0.0)
+    decoded = lo + voxels * np.float32(1.0 / 255.0) * (hi - lo)
+    dense = (
+        decoded.reshape(nb, by, bx, 8, 8, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(out_shape)
+    )
+    return dense.astype(dtype)
+
+
+def _decode_dense_device(atlas, range_lo, range_hi, ptr):
+    """Decode the brick atlas to the dense bf16 field ON DEVICE.
+
+    Bit-parity with the host `decode_dense` (same op sequence in f32, cast
+    to bf16 at the end — pinned by tests/test_grid.py): uploading the u8
+    atlas + ranges and decoding on the accelerator ships ~half the bytes
+    of the decoded bf16 field over the host->device link and deletes the
+    host-side decode entirely (VERDICT r3 item 2: 211 s of driver setup
+    was this upload). Everything is a jit ARGUMENT, never a closure
+    constant (tunnel remote-compile size limit, CLAUDE.md).
+    """
+    bz, by, bx = range_lo.shape
+    az_b = atlas.shape[0] // 8 if atlas.shape[0] else 0
+    if az_b == 0:
+        return jnp.zeros((bz * 8, by * 8, bx * 8), jnp.bfloat16)
+    atlas_bricks = (
+        atlas.reshape(az_b, 8, by, 8, bx, 8)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(az_b * by * bx, 8, 8, 8)
+        .astype(jnp.float32)
+    )
+    p = ptr.reshape(-1, 3).astype(jnp.int32)
+    slot = p[:, 2] * (by * bx) + p[:, 1] * bx + p[:, 0]
+    occupied = (range_lo != range_hi).ravel()
+    lo = range_lo.reshape(-1, 1, 1, 1)
+    hi = range_hi.reshape(-1, 1, 1, 1)
+    voxels = jnp.where(
+        occupied[:, None, None, None],
+        atlas_bricks[jnp.minimum(slot, az_b * by * bx - 1)],
+        0.0,
+    )
+    # optimization_barriers pin the host decode's exact IEEE op order:
+    # without them XLA contracts/reassociates (FMA, const-folding
+    # c*(hi-lo)) and voxels landing on bf16 rounding ties flip by one ulp
+    # (measured: 6/262k elements without the barriers)
+    barrier = jax.lax.optimization_barrier
+    scaled = barrier(voxels * jnp.float32(1.0 / 255.0))
+    scaled = barrier(scaled * (hi - lo))
+    decoded = barrier(lo + scaled)
+    dense = (
+        decoded.reshape(bz, by, bx, 8, 8, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(bz * 8, by * 8, bx * 8)
+    )
+    return dense.astype(jnp.bfloat16)
+
+
+_decode_dense_jit = jax.jit(_decode_dense_device)
+
+
 def _ceil_to_bf16(a: np.ndarray) -> np.ndarray:
     """Round a non-negative f32 array UP to the nearest bfloat16 — the
     conservative direction for majorants (an underestimate would bias the
@@ -102,8 +195,24 @@ def _ceil_to_bf16(a: np.ndarray) -> np.ndarray:
     return np.where(down, bumped, b)
 
 
+def build_majorant_pyramid(grid: BrickGrid, maj_dtype: str = "float32") -> np.ndarray:
+    """Stacked (NUM_MIPS+1, bz, by, bx) majorant pyramid — every range-mip
+    level nearest-upsampled to finest brick resolution (module docstring).
+    maj_dtype="bfloat16" rounds UP so the result stays a valid majorant."""
+    mips = [grid.range_hi]
+    for level, (_, hi) in enumerate(grid.range_mips):
+        mips.append(_upsample_nearest(hi, 1 << (level + 1)))
+    maj = np.stack(mips, axis=0).astype(np.float32)
+    if maj_dtype == "bfloat16":
+        maj = _ceil_to_bf16(maj)
+    return maj
+
+
 def device_grid_from_brick(
-    grid: BrickGrid, dense: bool | None = None, maj_dtype: str = "float32"
+    grid: BrickGrid,
+    dense: bool | None = None,
+    maj_dtype: str = "float32",
+    decode_on_device: bool = True,
 ) -> DeviceGrid:
     """Upload a BrickGrid. dense: True/False force, None = auto by budget.
 
@@ -111,26 +220,34 @@ def device_grid_from_brick(
     (rounded UP, so it stays a valid majorant) — halves the hot
     1-gather-per-DDA-step traffic at the cost of slightly more null
     collisions; the estimator stays unbiased but per-sample images are a
-    different (equally valid) random realization, so it is opt-in."""
+    different (equally valid) random realization, so it is opt-in.
+
+    decode_on_device (default): the dense field is decoded from the
+    uploaded u8 atlas BY THE ACCELERATOR (_decode_dense_device) instead of
+    decoded on host and shipped as bf16 — half the host->device bytes and
+    no host decode. Bit-identical to the host path (pinned by
+    tests/test_grid.py::test_device_decode_bit_parity)."""
     bx, by, bz = grid.brick_count
-    mips = [grid.range_hi]
-    for level, (_, hi) in enumerate(grid.range_mips):
-        mips.append(_upsample_nearest(hi, 1 << (level + 1)))
-    maj = np.stack(mips, axis=0).astype(np.float32)
-    if maj_dtype == "bfloat16":
-        maj = _ceil_to_bf16(maj)
+    maj = build_majorant_pyramid(grid, maj_dtype)
 
     n_voxels = (bx * by * bz) * 512
     if dense is None:
         dense = n_voxels * 2 <= DENSE_BUDGET_BYTES
-    dense_field = (
-        jnp.asarray(decode_dense(grid), dtype=jnp.bfloat16) if dense else None
-    )
+    atlas = jnp.asarray(grid.atlas)
+    range_lo = jnp.asarray(grid.range_lo)
+    range_hi = jnp.asarray(grid.range_hi)
+    ptr = jnp.asarray(grid.indirection)
+    if not dense:
+        dense_field = None
+    elif decode_on_device:
+        dense_field = _decode_dense_jit(atlas, range_lo, range_hi, ptr)
+    else:
+        dense_field = jnp.asarray(decode_dense(grid), dtype=jnp.bfloat16)
     return DeviceGrid(
-        atlas=jnp.asarray(grid.atlas),
-        range_lo=jnp.asarray(grid.range_lo),
-        range_hi=jnp.asarray(grid.range_hi),
-        ptr=jnp.asarray(grid.indirection),
+        atlas=atlas,
+        range_lo=range_lo,
+        range_hi=range_hi,
+        ptr=ptr,
         maj_mips=jnp.asarray(maj),
         extent=jnp.asarray(np.array(grid.index_extent, np.int32)),
         dense=dense_field,
