@@ -81,3 +81,40 @@ def test_distributed_vz_tap_dtype(grid):
     assert dist._slabbed.tap_dtype == "bfloat16"
     img = dist.image()
     assert np.isfinite(img).all()
+
+
+def test_distributed_warmup_divergence_pinned(grid):
+    """DOCUMENTED divergence (do not 'fix' either side): the single-chip
+    renderer zero-weights warm-up samples 0..4 (viewer.ts:1356 — its
+    accumulator is the mean of samples [5, N)), while DistributedRenderer
+    folds ALL samples from index 0 into the accumulator (every sample is
+    an iid estimator, so this is statistically sound and avoids wasting
+    sp x 5 warm-up renders). The two framebuffers therefore differ until
+    convergence; the single-chip one must equal the mean of samples
+    [WARMUP, N) and the distributed one the mean of [0, N)."""
+    import jax.numpy as jnp
+
+    from volxel_tpu.render.pathtrace import WARMUP_SAMPLES, render_sample
+
+    n = 8
+    dist = _setup(DistributedRenderer(width=16, height=16, sp=2, px=4), grid)
+    single = _setup(Renderer(width=16, height=16), grid)
+    for _ in range(n // 2):
+        dist.render_frame()
+    for _ in range(n):
+        single.render_frame()
+
+    ops = single._cached_operands
+    samples = [np.asarray(render_sample(*ops, jnp.uint32(i))) for i in range(n)]
+    np.testing.assert_allclose(
+        np.asarray(dist._framebuffer), np.mean(samples, axis=0),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(single._framebuffer),
+        np.mean(samples[WARMUP_SAMPLES:], axis=0),
+        atol=1e-5, rtol=1e-5,
+    )
+    assert not np.array_equal(
+        np.asarray(dist._framebuffer), np.asarray(single._framebuffer)
+    )
