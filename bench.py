@@ -86,24 +86,49 @@ def _err(e: BaseException) -> str:
     return f"{type(e).__name__}: {e}"[:300]
 
 
+def _frame_filled(r) -> None:
+    """Reframe to the VOLUME-FILLING protocol (VERDICT r3 item 3): camera
+    close enough that the unit-cube AABB covers ~the whole 16:9 viewport
+    — at distance 0.8 a measured 97.5% of camera rays enter the AABB
+    (ray_box_intersection probe at 192x108; the default wide framing at
+    distance 2.0 measures 18%) — plus the reference's 3x density
+    (BASELINE.md:5, its 'body donor at 3x density' run). Almost no ray
+    can be an empty background pixel for free here, so the headline
+    can't be discounted as empty-pixel throughput."""
+    from volxel_tpu.scene.camera import Camera
+
+    r.camera = Camera(1.0)
+    r.camera.rotate_around_view(0.6, 0.4)
+    r.camera.zoom(0.8)
+    r.settings.density_multiplier = 3.0
+    r.restart_rendering()
+
+
 def _build_benchmark_renderer(size: int, width: int, height: int, stages=None,
-                              vol=None):
+                              vol=None, filled: bool = False):
     """The benchmark scene (shared by the sweep and the --steps-only
     subprocess so both measure the same state). `stages`, when given, is a
     dict that receives per-stage wall times so BENCH setup time is
     attributable line-item by line-item (BENCH_r02 carried 348 s of
     unattributed setup). `vol` reuses an already-synthesized volume
-    (the 512^3 synth costs ~13-50 s; the driver run measured it twice)."""
-    from volxel_tpu import Renderer
-    from volxel_tpu.grid import construct_brick_grid
-    from volxel_tpu.utils.fixtures import synthetic_ct_volume
-
+    (the 512^3 synth costs ~13-50 s; the driver run measured it twice).
+    `filled` applies the volume-filling framing instead of the default
+    wide framing."""
     def stage(name):
         if stages is not None:
             stages[name] = round(time.time() - stage.t0, 2)
         stage.t0 = time.time()
 
     stage.t0 = time.time()
+    import jax
+
+    jax.devices()  # backend/tunnel handshake, attributed separately
+    stage("backend_init_s")
+    from volxel_tpu import Renderer
+    from volxel_tpu.grid import construct_brick_grid
+    from volxel_tpu.scene.environment import default_environment
+    from volxel_tpu.utils.fixtures import synthetic_ct_volume
+
     if vol is None:
         vol = synthetic_ct_volume((size, size, size), bits_stored=12)
     stage("volume_synth_s")
@@ -111,12 +136,21 @@ def _build_benchmark_renderer(size: int, width: int, height: int, stages=None,
         vol.astype(np.float32) / vol.max(), transform=np.eye(4, dtype=np.float32)
     )
     stage("brick_build_s")
+    # the env importance-pyramid jit is the bulk of renderer init
+    # (BENCH_r03 carried it as 13.6 unattributed seconds); building one
+    # throwaway default env here caches the compile so the ctor's own
+    # build is cheap and the cost shows up on its own line
+    default_environment().state.imp_mips[0].block_until_ready()
+    stage("env_importance_build_s")
     r = Renderer(width=width, height=height)
     stage("renderer_init_s")
     r.restart_from_grid(grid)
     stage("grid_device_upload_s")
-    r.camera.rotate_around_view(0.6, 0.4)
-    r.camera.zoom(2.0)
+    if filled:
+        _frame_filled(r)
+    else:
+        r.camera.rotate_around_view(0.6, 0.4)
+        r.camera.zoom(2.0)
     r.settings.bounces = 1
     r.settings.max_samples = 10**9
     r.set_transfer_colors(
@@ -130,11 +164,17 @@ def _build_benchmark_renderer(size: int, width: int, height: int, stages=None,
     return r
 
 
-def _steps_only(size: int) -> None:
-    """Subprocess entry: print the step-statistics JSON for the scene."""
+def _steps_only(
+    size: int, width: int = 1920, height: int = 1080, filled: bool = False
+) -> None:
+    """Subprocess entry: print the step-statistics JSON for the scene.
+
+    Runs at the SAME resolution as the parent bench (the driver's 1080p
+    by default) — at contract-test scale (64x36) the instrumented 1080p
+    march cost minutes on CPU and blew the subprocess deadline."""
     from volxel_tpu.utils.stepstats import step_statistics
 
-    r = _build_benchmark_renderer(size, 1920, 1080)
+    r = _build_benchmark_renderer(size, width, height, filled=filled)
     r.render_mode = "default"
     print(json.dumps(step_statistics(r, "default")))
 
@@ -144,7 +184,13 @@ def main() -> None:
     from volxel_tpu.utils.fixtures import synthetic_ct_volume
 
     if len(sys.argv) > 1 and sys.argv[1] == "--steps-only":
-        _steps_only(int(sys.argv[2]))
+        rest = [a for a in sys.argv[2:] if a != "--filled"]
+        _steps_only(
+            int(rest[0]),
+            int(rest[1]) if len(rest) > 1 else 1920,
+            int(rest[2]) if len(rest) > 2 else 1080,
+            filled="--filled" in sys.argv,
+        )
         return
 
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
@@ -203,13 +249,18 @@ def main() -> None:
     # phase.
     sweep: dict[str, object] = {}
     degraded_ms: dict[str, float] = {}
+    # at sub-benchmark scale (the contract tests run size 16) a short
+    # timing protocol suffices; the drift-aware 3-block protocol is for
+    # the real 512^3 driver runs on the tunnel
+    small = size < 256
+    tm = dict(warmup=1, timed=4, blocks=1) if small else {}
 
     def sweep_pass(pass_i: int) -> None:
         for mode in ("default", "no_dda", "raymarch"):
             try:
                 r.render_mode = mode  # resets accumulation + respecializes
                 t0 = time.time()
-                ms = round(_time_mode(r), 3)
+                ms = round(_time_mode(r, **tm), 3)
                 prev = sweep.get(mode)
                 sweep[mode] = min(prev, ms) if isinstance(prev, float) else ms
                 print(
@@ -262,35 +313,78 @@ def main() -> None:
         if not isinstance(sweep.get(mode), float):
             sweep[mode] = round(ms, 1)
 
+    # VOLUME-FILLING leg (VERDICT r3 item 3): the same three modes with
+    # the camera framed so the AABB covers ~the whole viewport and the
+    # reference's 3x density protocol. Camera/density are traced operands
+    # (not jit statics), so this reuses the sweep's compiled functions —
+    # one pass costs seconds. Guarded like everything else.
+    filled_sweep: dict[str, object] = {}
+    if any(isinstance(v, float) for v in sweep.values()):
+        try:
+            _frame_filled(r)
+            for mode in ("default", "no_dda", "raymarch"):
+                try:
+                    r.render_mode = mode
+                    ms = round(
+                        _time_mode(r, **(tm or dict(warmup=2, timed=12, blocks=2))), 3
+                    )
+                    filled_sweep[mode] = ms
+                    print(f"# filled {mode}: {ms} ms/sample", file=sys.stderr)
+                except Exception as e:  # noqa: BLE001
+                    filled_sweep[mode] = {"error": _err(e)}
+                    print(f"# filled {mode}: FAILED {_err(e)}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            filled_sweep = {"error": _err(e)}
+
     # step-count study on the benchmark scene (default mode). Optional and
     # DOUBLY guarded: it runs in a subprocess with a hard deadline — on a
     # degraded chip the instrumented compile can take tens of minutes
     # (observed r3), and a hang would blow the driver's budget just as
     # surely as r2's kernel fault did.
+    def _steps_subprocess(filled: bool) -> object:
+        import os
+        import subprocess
+
+        import jax
+
+        cmd = [
+            sys.executable, "-u", __file__, "--steps-only",
+            str(size), str(width), str(height),
+        ]
+        if filled:
+            cmd.append("--filled")
+        # pin the subprocess to the parent's backend: with the parent on
+        # CPU (the contract tests), inheriting PALLAS_AXON_POOL_IPS would
+        # make sitecustomize register the tunneled TPU backend and the
+        # "CPU" step stats nondeterministically ride (and stall on) the
+        # tunnel — observed as 540 s subprocess timeouts under pytest
+        env = dict(os.environ)
+        if jax.default_backend() == "cpu":
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            env["JAX_PLATFORMS"] = "cpu"
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=540, env=env
+            )
+            if proc.returncode == 0 and proc.stdout.strip():
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            return {"error": f"rc={proc.returncode}: {proc.stderr[-200:]}"}
+        except subprocess.TimeoutExpired:
+            print("# step stats: timed out, skipped", file=sys.stderr)
+            return {"error": "step statistics timed out after 540s; skipped"}
+        except Exception as e:  # noqa: BLE001
+            print(f"# step stats: FAILED {_err(e)}", file=sys.stderr)
+            return {"error": _err(e)}
+
     steps: object = None
+    steps_filled: object = None
     if (
         isinstance(sweep.get("default"), float)
         and sweep["default"] < FRAME_ABORT_S * 1000.0  # skip on degraded-only
     ):
-        import subprocess
-
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-u", __file__, "--steps-only", str(size)],
-                capture_output=True,
-                text=True,
-                timeout=540,
-            )
-            if proc.returncode == 0 and proc.stdout.strip():
-                steps = json.loads(proc.stdout.strip().splitlines()[-1])
-            else:
-                steps = {"error": f"rc={proc.returncode}: {proc.stderr[-200:]}"}
-        except subprocess.TimeoutExpired:
-            steps = {"error": "step statistics timed out after 540s; skipped"}
-            print("# step stats: timed out, skipped", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            steps = {"error": _err(e)}
-            print(f"# step stats: FAILED {_err(e)}", file=sys.stderr)
+        steps = _steps_subprocess(filled=False)
+        if isinstance(filled_sweep.get("default"), float):
+            steps_filled = _steps_subprocess(filled=True)
 
     timed = {m: v for m, v in sweep.items() if isinstance(v, float)}
     if not timed:
@@ -314,8 +408,10 @@ def main() -> None:
                 "unit": "ms",
                 "vs_baseline": round(baseline_ms / ms_per_frame, 4),
                 "sweep_ms_per_sample": sweep,
+                "filled_sweep_ms_per_sample": filled_sweep,
                 "mrays_per_s": round(width * height / (ms_per_frame / 1000.0) / 1e6, 1),
                 "steps": steps,
+                "steps_filled": steps_filled,
                 "ingest_s": ingest_s,
                 "setup_s": round(setup_s, 1),
                 "setup_stages": setup_stages,

@@ -257,3 +257,45 @@ def test_timeseries_from_zips(volume):
     assert len(player) == 2
     frames = list(player.play(samples_per_step=1))
     assert len(frames) == 2
+
+
+def test_from_attributes_urls(volume, tmp_path):
+    """zip_url / env_url fetch over HTTP like the reference's
+    restartFromZipUrl / loadEnvFromUrl (viewer.ts:991-1003,1035-1040),
+    served here by a local http.server."""
+    import threading
+    from functools import partial
+    from http.server import HTTPServer, SimpleHTTPRequestHandler
+
+    (tmp_path / "scan.zip").write_bytes(write_dicom_zip(volume, bits_stored=12))
+    (tmp_path / "sky.hdr").write_bytes(synthetic_env_hdr(16, 8))
+
+    handler = partial(SimpleHTTPRequestHandler, directory=str(tmp_path))
+    httpd = HTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        r = Renderer.from_attributes(
+            width=8,
+            height=8,
+            zip_url=f"http://127.0.0.1:{port}/scan.zip",
+            env_url=f"http://127.0.0.1:{port}/sky.hdr",
+        )
+        assert r.grid is not None
+        assert r.environment.texture.shape[0] == 8  # fetched env applied
+        r.render_frame()
+
+        # non-2xx surfaces as an error like the reference's response.ok
+        import urllib.error
+
+        import pytest as _pytest
+
+        with _pytest.raises(urllib.error.HTTPError):
+            Renderer.from_attributes(
+                width=8, height=8,
+                zip_url=f"http://127.0.0.1:{port}/missing.zip",
+            )
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -46,6 +46,16 @@ def test_bench_emits_json(monkeypatch, capsys):
     # small volume skips the ingest study by design
     assert payload["ingest_s"] is None
     assert payload["steps"]["mode"] == "default"
+    # volume-filling leg (VERDICT r3 item 3): all three modes timed at the
+    # filled framing, with its own step percentiles
+    filled = payload["filled_sweep_ms_per_sample"]
+    assert set(filled) == {"default", "no_dda", "raymarch"}
+    assert all(isinstance(v, float) for v in filled.values())
+    assert payload["steps_filled"]["mode"] == "default"
+    # setup attribution (VERDICT r3 item 6): env importance build and
+    # backend init are their own line items
+    for key in ("backend_init_s", "env_importance_build_s", "renderer_init_s"):
+        assert key in payload["setup_stages"], key
 
 
 def test_bench_survives_stepstats_crash(monkeypatch, capsys):

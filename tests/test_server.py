@@ -168,6 +168,18 @@ def test_page_has_controls(server):
         assert f'id="{control}"' in page
 
 
+def test_page_has_touch_input(server):
+    """The served page carries the reference's unified touch layer
+    (util.ts:43-133): 1-finger rotate, 2-finger pinch zoom, 3-finger pan,
+    with pointer events suppressed for touch so they don't double-fire."""
+    page = _get(server, "/").read().decode()
+    assert "touchstart" in page and "touchmove" in page
+    for mode in ("'rotate'", "'pinch'", "'pan'"):
+        assert mode in page
+    assert "lastDist / cur" in page  # pinch ratio -> zoom factor
+    assert "e.pointerType === 'touch'" in page
+
+
 # -- round-3 widgets + hardening (VERDICT r2 items 7, 8) -----------------------
 
 

@@ -96,7 +96,12 @@ def test_gather_probe():
     axis-0 gather over a 512-row table and flat 1-D `table[idx]` both
     reject ("Only 2D gather is supported" / multi-vreg); no
     dynamic_gather symbol exists in pallas.tpu. The VMEM-resident
-    majorant-pyramid DDA kernel remains inexpressible."""
+    majorant-pyramid DDA kernel remains inexpressible.
+
+    Round-5 re-probe (jax 0.9.0, same chip, later in 2026-08-17):
+    unchanged — axis-1 lowers+runs, axis-0 512-row and flat 1-D forms
+    still reject, no *gather* symbol in pallas.tpu's namespace. Door
+    still closed."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

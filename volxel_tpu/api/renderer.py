@@ -46,6 +46,16 @@ from volxel_tpu.transfer.function import (
 LOW_RESOLUTION_DURATION = 5  # warm-up samples (viewer.ts:132)
 
 
+def _fetch_url(url: str) -> bytes:
+    """GET a resource — the fetch() behind restartFromZipUrl /
+    loadEnvFromUrl (viewer.ts:991-1003,1035-1040). Raises on non-2xx
+    like the reference's response.ok check."""
+    from urllib.request import urlopen
+
+    with urlopen(url) as resp:  # noqa: S310 — caller-provided URL by design
+        return resp.read()
+
+
 class Renderer:
     def __init__(
         self,
@@ -99,11 +109,17 @@ class Renderer:
         env_path=None,
         render_mode: str | None = None,
         benchmark_path=None,
+        zip_url: str | None = None,
+        env_url: str | None = None,
     ) -> "Renderer":
         """Declarative construction — the embed-attribute contract
         (data-zip-url / data-urls / data-settings-url / data-env-url /
         data-render-mode / data-benchmark-url, viewer.ts:112,
-        index.html:24-33), with local paths in place of URLs.
+        index.html:24-33), with local paths OR http(s) URLs.
+
+        `zip_url` / `env_url` fetch over HTTP like the reference's
+        restartFromZipUrl / loadEnvFromUrl (viewer.ts:991-1003,1035-1040);
+        the corresponding `*_path` argument wins if both are given.
 
         `benchmark_path` mirrors `attributeBenchmark` (viewer.ts:840-848):
         after construction the benchmark collection is run immediately and
@@ -116,8 +132,12 @@ class Renderer:
         elif files_dir is not None:
             paths = sorted(p for p in Path(files_dir).iterdir() if p.is_file())
             r.restart_from_files(paths)
+        elif zip_url is not None:
+            r.restart_from_zip(_fetch_url(zip_url))
         if env_path is not None:
             r.load_env(Path(env_path).read_bytes())
+        elif env_url is not None:
+            r.load_env(_fetch_url(env_url))
         if settings_path is not None:
             from volxel_tpu.api.settings import load_settings
 

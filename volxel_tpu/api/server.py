@@ -79,7 +79,49 @@ function ndc(e) {
            -((e.clientY - r.top) / r.height * 2 - 1) ];
 }
 view.addEventListener('contextmenu', e => e.preventDefault());
+// touch: 1-finger rotate, 2-finger pinch zoom, 3-finger pan — the
+// reference's unified input layer (util.ts:43-133). touchstart
+// preventDefault() suppresses synthesized mouse events; pointer events
+// from touch are ignored below so the two paths don't double-fire.
+let touchMode = null, lastDist = 0;
+view.addEventListener('touchstart', e => {
+  e.preventDefault();
+  if (e.touches.length === 1 || e.touches.length === 3) {
+    touchMode = e.touches.length === 1 ? 'rotate' : 'pan';
+    last = [e.touches[0].clientX, e.touches[0].clientY];
+  } else if (e.touches.length === 2) {
+    touchMode = 'pinch';
+    lastDist = Math.hypot(e.touches[0].clientX - e.touches[1].clientX,
+                          e.touches[0].clientY - e.touches[1].clientY);
+  }
+}, {passive: false});
+view.addEventListener('touchmove', e => {
+  const r = view.getBoundingClientRect();
+  if (touchMode === 'rotate') {
+    if (e.touches.length !== 1) { touchMode = null; return; }
+    const s = Math.max(r.width, r.height);
+    const d = [e.touches[0].clientX - last[0], e.touches[0].clientY - last[1]];
+    last = [e.touches[0].clientX, e.touches[0].clientY];
+    post({type: 'rotate', by: [d[0] * Math.PI / s, d[1] * Math.PI / s]});
+  } else if (touchMode === 'pinch') {
+    if (e.touches.length !== 2) { touchMode = null; return; }
+    const cur = Math.hypot(e.touches[0].clientX - e.touches[1].clientX,
+                           e.touches[0].clientY - e.touches[1].clientY);
+    if (cur > 0 && lastDist > 0) post({type: 'zoom', by: lastDist / cur});
+    lastDist = cur;
+  } else if (touchMode === 'pan') {
+    if (e.touches.length !== 3) { touchMode = null; return; }
+    const d = [(e.touches[0].clientX - last[0]) / r.width,
+               (e.touches[0].clientY - last[1]) / r.height];
+    last = [e.touches[0].clientX, e.touches[0].clientY];
+    post({type: 'pan', by: d});
+  }
+}, {passive: false});
+function touchStop() { touchMode = null; }
+view.addEventListener('touchend', touchStop);
+view.addEventListener('touchcancel', touchStop);
 view.addEventListener('pointerdown', e => {
+  if (e.pointerType === 'touch') return;
   e.preventDefault(); view.setPointerCapture(e.pointerId);
   right = e.button === 2;
   if (e.shiftKey && !right) moving = true; else dragging = true;
@@ -87,6 +129,7 @@ view.addEventListener('pointerdown', e => {
   if (right) post({type: 'clip_begin', ndc: ndc(e)});
 });
 view.addEventListener('pointermove', e => {
+  if (e.pointerType === 'touch') return;
   const r = view.getBoundingClientRect();
   if (!dragging && !moving) { post({type: 'clip_hover', ndc: ndc(e)}); return; }
   const d = [e.clientX - last[0], e.clientY - last[1]];

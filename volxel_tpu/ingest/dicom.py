@@ -9,9 +9,10 @@ Transfer syntaxes: Explicit/Implicit VR Little Endian, Explicit VR Big
 Endian, and — matching the reference's dicom-pixeldata features
 ["image","jpeg","native"] (dicom_preprocessor/Cargo.toml:25) — the
 encapsulated syntaxes JPEG Lossless (.57/.70, incl. SV1, bit-exact), JPEG
-Baseline/Extended (.50/.51), and RLE Lossless (1.2.840.10008.1.2.5),
-decoded by the in-repo ingest.jpeg / ingest.rle codecs. Unsupported
-encapsulated syntaxes (JPEG-LS, JPEG 2000) raise cleanly by name.
+Baseline/Extended (.50/.51), RLE Lossless (1.2.840.10008.1.2.5) — decoded
+by the in-repo ingest.jpeg / ingest.rle codecs — plus JPEG 2000 (.90/.91,
+via cv2/OpenJPEG) and JPEG XL (via the system libjxl, ingest/jxl.py).
+Unsupported encapsulated syntaxes (JPEG-LS) raise cleanly by name.
 
 Files with or without the 128-byte preamble parse; nested sequences are
 skipped (except for DICOMDIR detection).
