@@ -392,3 +392,51 @@ def test_compact_secondary_bit_identical(grid):
         cfg = config._replace(compact_secondary=flag)
         images[flag] = np.asarray(render_sample(cfg, *rest, jnp.uint32(7)))
     np.testing.assert_array_equal(images[True], images[False])
+
+
+def test_tile_dims_selection():
+    from volxel_tpu.render.pathtrace import tile_dims
+
+    # the 1080p benchmark shape: max-area divisor pair, squarest tie-break
+    assert tile_dims(1920, 1080, 129600) == (480, 270)
+    # degenerate dims (prime width, tiny target) fall back to bands
+    assert tile_dims(1913, 1080, 1000) is None
+    # target >= full frame -> the whole image is one tile (caller skips)
+    tw, th = tile_dims(64, 64, 64 * 64)
+    assert tw * th == 64 * 64
+
+
+def test_tile_chunks_same_estimator(grid):
+    """RenderConfig.tile_chunks (tile-major chunk ordering, default ON)
+    pins its contract: a pure lane permutation with an unchanged per-lane
+    RNG/draw protocol. XLA rounds fused transcendentals
+    position-dependently at the ulp level, and an ulp can flip a
+    stochastic collision compare — so a FEW pixels (measured 1/2304 on
+    CPU at this scene, ~0.01% on TPU at 1080p) may render a different
+    equally-valid realization than the band order (NOTES r5). Contract:
+    almost all pixels bit-equal per sample, converged images agree."""
+    from volxel_tpu.render.pathtrace import render_sample, render_sample_batch
+
+    r = _renderer(grid, size=48, bounces=2)
+    r.render_frame()
+    config, *rest = r._cached_operands
+    cfgs = {
+        "tiles": config._replace(chunk_size=16 * 12, tile_chunks=True),
+        "bands": config._replace(chunk_size=16 * 12, tile_chunks=False),
+    }
+    one = {
+        tag: np.asarray(render_sample(cfg, *rest, jnp.uint32(5)))
+        for tag, cfg in cfgs.items()
+    }
+    n = one["tiles"].shape[0]
+    diff_pixels = int((one["tiles"] != one["bands"]).any(axis=-1).sum())
+    assert diff_pixels <= max(2, n // 200), (
+        f"{diff_pixels}/{n} pixels differ — tile ordering is no longer a "
+        "near-pure permutation; investigate before shipping"
+    )
+    mean = {
+        tag: np.asarray(render_sample_batch(32, cfg, *rest, jnp.uint32(0)))
+        for tag, cfg in cfgs.items()
+    }
+    np.testing.assert_allclose(mean["tiles"], mean["bands"], atol=0.08)
+    assert np.abs(mean["tiles"] - mean["bands"]).mean() < 2e-3

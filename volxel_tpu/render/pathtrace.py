@@ -78,6 +78,21 @@ class RenderConfig(NamedTuple):
     # at runtime). Per-lane RNG state travels with its lane, so renders
     # stay bit-identical. Off by default pending the hardware A/B.
     compact_secondary: bool = False
+    # tile-major chunk ordering (NOTES r5): group each lockstep chunk as a
+    # 2D tile instead of a full-width scanline band, so a chunk's
+    # worst-case lane is drawn from a compact screen region — background
+    # tiles exit instantly and volume tiles are uniformly busy. Measured
+    # 0.086-0.097 vs 0.099-0.257 ms/sample for bands on the wide
+    # benchmark framing (examples/ab_tileorder.py). A pure lane
+    # permutation: the per-lane RNG/draw protocol is unchanged (keyed by
+    # global pixel index), but XLA's codegen rounds fused transcendentals
+    # position-dependently at the ulp level, and an ulp can flip a
+    # stochastic collision compare — so isolated pixels (~0.01%) render a
+    # DIFFERENT equally-valid realization of the same estimator than the
+    # band order (investigation: NOTES r5; contract pinned by
+    # tests/test_render.py::test_tile_chunks_same_estimator). Only
+    # engages when the frame is actually chunked (>~131k pixels).
+    tile_chunks: bool = True
 
 
 def _compacted_secondary(fn, n_fill, valid, lane_arrays, fill_values):
@@ -366,6 +381,55 @@ def _effective_chunk_size(n: int, requested: int | None) -> int | None:
     return size if 1 < size < n else None
 
 
+def tile_dims(width: int, height: int, target: int) -> tuple[int, int] | None:
+    """Pick (tw, th) with tw | width, th | height, tw*th <= target,
+    maximizing area then squareness. None if no pair reaches >= target/2
+    (degenerate dims — band chunking is as good)."""
+    div_w = [d for d in range(4, width + 1) if width % d == 0]
+    div_h = [d for d in range(4, height + 1) if height % d == 0]
+    best = None
+    for tw in div_w:
+        for th in div_h:
+            a = tw * th
+            if a > target:
+                continue
+            key = (a, -abs(tw - th))
+            if best is None or key > best[0]:
+                best = (key, (tw, th))
+    # need a real 2D tile (>=4 voxels each way) filling most of the chunk
+    # budget; otherwise band chunking is as good
+    if best is None or best[0][0] * 2 < target:
+        return None
+    return best[1]
+
+
+def _tile_permutations(config: RenderConfig):
+    """(perm, inv_perm, tile_area) for tile-major chunk ordering, or None.
+
+    perm[j] = the linear pixel index traced by lane j; inv_perm scatters
+    the traced radiance back to linear order. Both are computed IN-GRAPH
+    from iota (never host constants — the tunnel's remote-compile size
+    limit rejects multi-MB program constants)."""
+    if not config.tile_chunks or config.chunk_size is None:
+        return None
+    w, h = config.width, config.height
+    t = tile_dims(w, h, config.chunk_size)
+    if t is None or t[0] * t[1] >= w * h:
+        return None
+    tw, th = t
+    tiles_x = w // tw
+    area = tw * th
+    j = jnp.arange(w * h, dtype=jnp.uint32)
+    tile_id, within = j // area, j % area
+    ty, tx = tile_id // tiles_x, tile_id % tiles_x
+    wy, wx = within // tw, within % tw
+    perm = (ty * th + wy) * w + tx * tw + wx
+    i = j
+    x, y = i % w, i // w
+    inv = ((y // th) * tiles_x + (x // tw)) * area + (y % th) * tw + (x % tw)
+    return perm, inv, area
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def render_sample(
     config: RenderConfig,
@@ -384,8 +448,14 @@ def render_sample(
     convention); hosts reshape to (height, width, 3) and flip for display.
     """
     n = config.width * config.height
-    pixel_index = jnp.arange(n, dtype=jnp.uint32)
-    return render_pixels(
+    tiling = _tile_permutations(config)
+    if tiling is None:
+        pixel_index = jnp.arange(n, dtype=jnp.uint32)
+        inv = None
+    else:
+        pixel_index, inv, area = tiling
+        config = config._replace(chunk_size=area)
+    out = render_pixels(
         config,
         grid,
         params,
@@ -397,6 +467,7 @@ def render_sample(
         pixel_index,
         frame_index,
     )
+    return out if inv is None else out[inv]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -421,7 +492,13 @@ def render_sample_batch(
     RNG streams keyed by frame_index + i).
     """
     n = config.width * config.height
-    pixel_index = jnp.arange(n, dtype=jnp.uint32)
+    tiling = _tile_permutations(config)
+    if tiling is None:
+        pixel_index = jnp.arange(n, dtype=jnp.uint32)
+        inv = None
+    else:
+        pixel_index, inv, area = tiling
+        config = config._replace(chunk_size=area)
 
     def body(i, acc):
         s = render_pixels(
@@ -439,6 +516,7 @@ def render_sample_batch(
         return acc + s
 
     total = jax.lax.fori_loop(0, n_samples, body, jnp.zeros((n, 3), jnp.float32))
+    total = total if inv is None else total[inv]
     return total / n_samples
 
 
