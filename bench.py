@@ -165,16 +165,21 @@ def _build_benchmark_renderer(size: int, width: int, height: int, stages=None,
 
 
 def _steps_only(
-    size: int, width: int = 1920, height: int = 1080, filled: bool = False
+    size: int, width: int = 1920, height: int = 1080, filled: bool = False,
+    vol_path: str | None = None,
 ) -> None:
     """Subprocess entry: print the step-statistics JSON for the scene.
 
     Runs at the SAME resolution as the parent bench (the driver's 1080p
     by default) — at contract-test scale (64x36) the instrumented 1080p
-    march cost minutes on CPU and blew the subprocess deadline."""
+    march cost minutes on CPU and blew the subprocess deadline.
+    `vol_path` reuses the parent's synthesized volume (an .npy dump) —
+    re-synthesizing 512^3 costs 30+ s in the VM's slow phases and was
+    eating into the subprocess deadline."""
     from volxel_tpu.utils.stepstats import step_statistics
 
-    r = _build_benchmark_renderer(size, width, height, filled=filled)
+    vol = np.load(vol_path) if vol_path else None
+    r = _build_benchmark_renderer(size, width, height, filled=filled, vol=vol)
     r.render_mode = "default"
     print(json.dumps(step_statistics(r, "default")))
 
@@ -190,6 +195,7 @@ def main() -> None:
             int(rest[1]) if len(rest) > 1 else 1920,
             int(rest[2]) if len(rest) > 2 else 1080,
             filled="--filled" in sys.argv,
+            vol_path=rest[3] if len(rest) > 3 else None,
         )
         return
 
@@ -233,6 +239,18 @@ def main() -> None:
     r = _build_benchmark_renderer(
         size, width, height, stages=setup_stages, vol=vol
     )
+    # park the synthesized volume on disk for the step-stats subprocesses
+    # (re-synthesizing 512^3 costs 30+ s in the VM's slow phases)
+    vol_path = None
+    try:
+        import tempfile
+
+        f = tempfile.NamedTemporaryFile(suffix=".npy", delete=False)
+        np.save(f, vol)
+        f.close()
+        vol_path = f.name
+    except Exception:  # noqa: BLE001 — subprocess will re-synthesize
+        vol_path = None
     del vol
 
     setup_s = time.time() - t_setup
@@ -351,6 +369,8 @@ def main() -> None:
             sys.executable, "-u", __file__, "--steps-only",
             str(size), str(width), str(height),
         ]
+        if vol_path:
+            cmd.append(vol_path)
         if filled:
             cmd.append("--filled")
         # pin the subprocess to the parent's backend: with the parent on
@@ -385,6 +405,13 @@ def main() -> None:
         steps = _steps_subprocess(filled=False)
         if isinstance(filled_sweep.get("default"), float):
             steps_filled = _steps_subprocess(filled=True)
+    if vol_path:
+        import os
+
+        try:
+            os.unlink(vol_path)
+        except OSError:
+            pass
 
     timed = {m: v for m, v in sweep.items() if isinstance(v, float)}
     if not timed:
