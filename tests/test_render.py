@@ -394,6 +394,26 @@ def test_compact_secondary_bit_identical(grid):
     np.testing.assert_array_equal(images[True], images[False])
 
 
+def test_premul_majorant_bit_identity(grid):
+    """RenderConfig.premul_majorant folds transfer alpha + scaling into
+    the majorant pyramid in-graph (modes.build_premul_majorant) so the DDA
+    march gathers once per step. The builder runs the exact inline
+    per-element op chain (individually rounded f32 multiplies, no mul+add
+    pairs to FMA-contract), so renders must be BIT-identical — both with
+    the reference majorant rule and with the physical_majorant envelope."""
+    from volxel_tpu.render.pathtrace import render_sample
+
+    for phys in (False, True):
+        r = _renderer(grid, size=32, bounces=2, physical_majorant=phys)
+        r.render_frame()
+        config, *rest = r._cached_operands
+        images = {}
+        for flag in (False, True):
+            cfg = config._replace(premul_majorant=flag)
+            images[flag] = np.asarray(render_sample(cfg, *rest, jnp.uint32(9)))
+        np.testing.assert_array_equal(images[True], images[False])
+
+
 def test_tile_dims_selection():
     from volxel_tpu.render.pathtrace import tile_dims
 

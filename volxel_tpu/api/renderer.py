@@ -62,6 +62,7 @@ class Renderer:
         width: int = 1920,
         height: int = 1080,
         maj_dtype: str = "float32",
+        premul_majorant: bool = False,
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
@@ -71,6 +72,12 @@ class Renderer:
         # traffic. Statistically identical, not bit-identical (see
         # device_grid_from_brick), so opt-in.
         self.maj_dtype = maj_dtype
+        # fold transfer alpha into the majorant pyramid in-graph so the
+        # DDA march gathers once per step instead of twice
+        # (RenderConfig.premul_majorant). Bit-identical renders; measured a
+        # WASH on hardware (examples/ab_premul.py — the march is bound by
+        # loop overhead, not gather count; NOTES.md), so off by default.
+        self.premul_majorant = bool(premul_majorant)
         self.settings = settings or ViewerSettings()
 
         self.camera = Camera(1.0)
@@ -337,6 +344,7 @@ class Renderer:
             physical_shadows=bool(self.settings.physical_shadows),
             physical_majorant=bool(self.settings.physical_majorant),
             physical_pdf=bool(self.settings.physical_pdf),
+            premul_majorant=self.premul_majorant,
         )
 
     def volume_params(self) -> VolumeParams:

@@ -38,6 +38,7 @@ from volxel_tpu.render.sampling import (
     lookup_density_stochastic,
     lookup_density_trilinear,
     lookup_majorant,
+    lookup_majorant_premul,
     lookup_transfer,
     world_to_index_dir,
     world_to_index_point,
@@ -100,6 +101,40 @@ def _majorant_alpha(lut, sample_range, norm_density, envelope: bool):
     env = jax.lax.cummax(jnp.where(overlap, lut[:, 3], 0.0))
     idx = jnp.clip(jnp.floor(norm_density * k).astype(jnp.int32), 0, k - 1)
     return jnp.where(norm_density < sample_range[0], 0.0, env[idx])
+
+
+def build_premul_majorant(maj_mips, params, lut, majorant_envelope: bool = False):
+    """Precompute the fully-scaled DDA step majorant over the whole stacked
+    pyramid: vol_maj * transfer_alpha(density_scale * maj_mips * inv_maj).
+
+    The DDA inner march then fetches the final per-step majorant with ONE
+    gather (lookup_majorant_premul) instead of pyramid gather + LUT gather
+    + three scalar multiplies per step. The per-element op SEQUENCE here is
+    exactly the inline chain in _step_majorant (scale, normalize, LUT index
+    + fetch, vol_maj multiply — all individually-rounded f32 ops with no
+    mul+add pairs for XLA to contract), so gathered values are bit-equal to
+    the inline computation and renders are BIT-IDENTICAL (pinned by
+    tests/test_render.py::test_premul_majorant_bit_identity).
+
+    Rebuilt whenever the transfer/settings change (~1M elementwise ops for
+    512^3 — negligible against one frame).
+    """
+    maj_density = params.density_scale * maj_mips.astype(jnp.float32)
+    return params.vol_maj * _majorant_alpha(
+        lut, params.sample_range, maj_density * params.inv_maj, majorant_envelope
+    )
+
+
+def _step_majorant(grid, params, lut, curr, mip_i, envelope: bool):
+    """Per-step scaled majorant for the DDA march: premultiplied single
+    gather when grid.maj_alpha is present, else the inline two-gather chain
+    (dda.glsl:36). The branch is static (pytree structure)."""
+    if getattr(grid, "maj_alpha", None) is not None:
+        return lookup_majorant_premul(grid, curr, mip_i)
+    maj_density = lookup_majorant(grid, params, curr, mip_i)
+    return params.vol_maj * _majorant_alpha(
+        lut, params.sample_range, maj_density * params.inv_maj, envelope
+    )
 
 
 def sample_volume_dda(
@@ -174,12 +209,8 @@ def sample_volume_dda(
             march = running & ~pending
             mip_i = _round_mip(mip)
             curr = ipos + t[..., None] * idir
-            maj_density = lookup_majorant(grid, params, curr, mip_i)
-            majorant = params.vol_maj * _majorant_alpha(
-                lut,
-                params.sample_range,
-                maj_density * params.inv_maj,
-                majorant_envelope,
+            majorant = _step_majorant(
+                grid, params, lut, curr, mip_i, majorant_envelope
             )
             dt = _step_dda(curr, ri, mip_i)
             t_new = t + dt
@@ -318,12 +349,8 @@ def transmittance_dda(
             march = running & ~pending
             mip_i = _round_mip(mip)
             curr = ipos + t[..., None] * idir
-            maj_density = lookup_majorant(grid, params, curr, mip_i)
-            majorant = params.vol_maj * _majorant_alpha(
-                lut,
-                params.sample_range,
-                maj_density * params.inv_maj,
-                majorant_envelope,
+            majorant = _step_majorant(
+                grid, params, lut, curr, mip_i, majorant_envelope
             )
             dt = _step_dda(curr, ri, mip_i)
             t_new = t + dt

@@ -78,6 +78,15 @@ class RenderConfig(NamedTuple):
     # at runtime). Per-lane RNG state travels with its lane, so renders
     # stay bit-identical. Off by default pending the hardware A/B.
     compact_secondary: bool = False
+    # fold vol_maj * transfer_alpha(...) into the majorant pyramid
+    # IN-GRAPH (modes.build_premul_majorant, hoisted as loop-invariant by
+    # XLA) so the DDA march gathers once per step instead of pyramid +
+    # LUT. Bit-identical renders (pinned by
+    # tests/test_render.py::test_premul_majorant_bit_identity); measured a
+    # WASH on hardware across three build strategies
+    # (examples/ab_premul.py, NOTES.md r5 — the march is bound by loop
+    # overhead, not gather count), so off by default.
+    premul_majorant: bool = False
     # tile-major chunk ordering (NOTES r5): group each lockstep chunk as a
     # 2D tile instead of a full-width scanline band, so a chunk's
     # worst-case lane is drawn from a compact screen region — background
@@ -304,6 +313,21 @@ def render_pixels(
     pixel index + frame, so a sharded render is bit-identical to a
     single-device one.
     """
+    if (
+        config.premul_majorant
+        and config.mode == "default"
+        and not config.debug_hits
+        and getattr(grid, "maj_mips", None) is not None
+        and getattr(grid, "maj_alpha", None) is None
+        and hasattr(grid, "_replace")
+    ):
+        from volxel_tpu.render.modes import build_premul_majorant
+
+        grid = grid._replace(
+            maj_alpha=build_premul_majorant(
+                grid.maj_mips, params, lut, config.physical_majorant
+            )
+        )
     state = seed_rays(pixel_index, frame_index)
 
     state, j1 = rng2(state)

@@ -47,6 +47,12 @@ class DeviceGrid(NamedTuple):
     maj_mips: jax.Array  # (4, bz, by, bx) float32 — level 0 = range_hi
     extent: jax.Array  # (3,) int32 (x, y, z) index extent
     dense: jax.Array | None = None  # (Z, Y, X) bfloat16 decoded density
+    # optional premultiplied pyramid: vol_maj * transfer_alpha(majorant)
+    # precomputed per texel at operand-prep time (modes.build_premul_majorant)
+    # so the DDA inner march does ONE gather per step instead of pyramid +
+    # transfer-LUT. Same per-element op sequence as the inline computation
+    # -> bit-identical renders (pinned by tests/test_render.py).
+    maj_alpha: jax.Array | None = None  # (4, bz, by, bx) float32
 
 
 # dense fields are built for volumes up to this many bytes (bf16)
@@ -410,21 +416,33 @@ def lookup_density_brick_int(grid, iipos):
     return jnp.where(inside, value, 0.0)
 
 
+def _majorant_coords(grid, ipos):
+    """Brick coordinates of a majorant tap — shared by the raw and
+    premultiplied pyramid lookups so both gather the identical texel."""
+    ip = jnp.floor(ipos).astype(jnp.int32)
+    ip = jnp.clip(ip, 0, grid.extent - 1)
+    return ip[..., 0] >> 3, ip[..., 1] >> 3, ip[..., 2] >> 3
+
+
 def lookup_majorant(grid: DeviceGrid, params: VolumeParams, ipos, mip):
     """Scaled brick majorant at a traced mip level (common.glsl:50-53).
 
     mip: (...,) int32 in [0, 3]. One gather thanks to the stacked pyramid.
     """
-    ip = jnp.floor(ipos).astype(jnp.int32)
-    ip = jnp.clip(ip, 0, grid.extent - 1)
-    bxc = ip[..., 0] >> 3
-    byc = ip[..., 1] >> 3
-    bzc = ip[..., 2] >> 3
+    bxc, byc, bzc = _majorant_coords(grid, ipos)
     # astype is a no-op for the default f32 pyramid; for the opt-in bf16
     # pyramid it converts after the (now half-width) gather
     return params.density_scale * grid.maj_mips[mip, bzc, byc, bxc].astype(
         jnp.float32
     )
+
+
+def lookup_majorant_premul(grid, ipos, mip):
+    """Fully-scaled DDA step majorant from the premultiplied alpha pyramid
+    (grid.maj_alpha): one gather replaces pyramid gather + transfer-LUT
+    gather + the per-step scaling arithmetic."""
+    bxc, byc, bzc = _majorant_coords(grid, ipos)
+    return grid.maj_alpha[mip, bzc, byc, bxc]
 
 
 def lookup_density(grid: DeviceGrid, params: VolumeParams, ipos):
