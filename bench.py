@@ -17,6 +17,17 @@ transfer function from public/benchmark.json. Baseline: the reference's
 DDA mode at ~5.8 ms/sample (performance.txt:28-35). vs_baseline > 1 means
 faster than the reference.
 
+TIMING INTEGRITY (round-5 discovery, NOTES.md): on the axon tunnel,
+fetch-free block_until_ready returns at relay-ack WITHOUT waiting for
+execution — the 0.09-0.27 ms/sample values recorded in BENCH_r01-r03
+measured the relay's speculative ack rate, not the chip. The honest
+protocol: one tiny device->host fetch switches the session into
+synchronous per-program execution (each dispatch then pays ~33 ms relay
+RTT but truly blocks); frames are timed there. Both numbers are
+reported — "value"/"sweep_ms_per_sample" are HONEST sync-mode times;
+"relay_ack_ms_per_sample" preserves the old fiction for cross-round
+continuity.
+
 Structure rule (BENCH_r02 post-mortem): the required JSON line must print
 even when optional instrumentation fails — every non-essential stage is
 individually guarded, and its failure degrades to an "error" field in the
@@ -31,43 +42,41 @@ import time
 
 import numpy as np
 
-
-class DegradedChipError(RuntimeError):
-    """A single frame exceeded the plausibility budget — the tunneled chip
-    is in its known degraded state (while_loop workloads observed running
-    ~10^5 x slow for minutes at a time). Carries the measured frame ms so
-    a fully-degraded run can still report a number instead of crashing."""
-
-    def __init__(self, frame_ms: float):
-        super().__init__(f"degraded chip: one frame took {frame_ms / 1000.0:.1f}s")
-        self.frame_ms = frame_ms
+# Real 1080p/512^3 frames are ~10-120 s in honest sync mode. A frame
+# beyond this budget is aborted so one pathological mode cannot eat the
+# driver's whole round (the per-mode guard catches the TimeoutError).
+FRAME_BUDGET_S = 600.0
 
 
-# Healthy 1080p frames are ~0.1-0.3 ms; the degraded state is ~30-40 s.
-# Anything above this is unambiguously the degraded state — abort the
-# block instead of burning 38 frames x 34 s on garbage numbers.
-FRAME_ABORT_S = 5.0
+class FrameBudgetError(RuntimeError):
+    def __init__(self, frame_s: float):
+        super().__init__(f"frame exceeded budget: {frame_s:.0f}s")
+        self.frame_s = frame_s
 
 
-def _time_mode(r, warmup: int = 2, timed: int = 12, blocks: int = 3) -> float:
-    """Median ms/frame of the best of `blocks` timing blocks.
+def _sync_mode_switch() -> float:
+    """ONE tiny deliberate device->host fetch — flips the tunnel session
+    into its honest synchronous mode (NOTES.md ROUND-5 DISCOVERY: without
+    it, block_until_ready returns at relay-ack and wall times are
+    fiction). Returns the switch wall time (observed 0.3-390 s on the
+    tunnel; ~0 on CPU)."""
+    import jax
+    import jax.numpy as jnp
 
-    The tunneled chip's throughput drifts up to ~2x within one process
-    (measured: identical code 0.12-0.32 ms/sample across minutes —
-    examples/ab_loop_cond.py, NOTES.md round 3); one block's median is a
-    coin flip. Best-block-median reports sustained capability and is
-    stable run-to-run.
+    t0 = time.perf_counter()
+    float(np.asarray(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0))))
+    return time.perf_counter() - t0
 
-    The first warmup frame (compile) is exempt from the abort budget;
-    every later frame that exceeds FRAME_ABORT_S raises DegradedChipError
-    so a degraded-state run costs ~2 frames per mode, not 38.
+
+def _time_mode(r, warmup: int = 1, timed: int = 2, blocks: int = 1) -> float:
+    """Median honest ms/frame over `timed` frames (best of `blocks`).
+
+    Call AFTER _sync_mode_switch: each render_frame().block_until_ready()
+    then waits for true execution (plus ~33 ms relay RTT — negligible
+    against multi-second real frames). The warmup frame absorbs compile.
     """
-    for i in range(warmup):
-        t0 = time.perf_counter()
+    for _ in range(warmup):
         r.render_frame().block_until_ready()
-        dt = time.perf_counter() - t0
-        if i > 0 and dt > FRAME_ABORT_S:
-            raise DegradedChipError(dt * 1000.0)
     best = []
     for _ in range(blocks):
         times = []
@@ -75,11 +84,25 @@ def _time_mode(r, warmup: int = 2, timed: int = 12, blocks: int = 3) -> float:
             t0 = time.perf_counter()
             r.render_frame().block_until_ready()
             dt = time.perf_counter() - t0
-            if dt > FRAME_ABORT_S:
-                raise DegradedChipError(dt * 1000.0)
+            if dt > FRAME_BUDGET_S:
+                raise FrameBudgetError(dt)
             times.append(dt)
         best.append(np.median(times))
     return float(min(best) * 1000.0)
+
+
+def _time_mode_relay_ack(r, warmup: int = 2, timed: int = 6) -> float:
+    """The PRE-switch fetch-free protocol of BENCH_r01-r03 — measures the
+    relay's speculative ack rate, NOT execution (kept for cross-round
+    continuity; see module docstring). Must run before _sync_mode_switch."""
+    for _ in range(warmup):
+        r.render_frame().block_until_ready()
+    times = []
+    for _ in range(timed):
+        t0 = time.perf_counter()
+        r.render_frame().block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000.0)
 
 
 def _err(e: BaseException) -> str:
@@ -259,93 +282,76 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # reference-protocol mode sweep (performance.txt / benchmark.json).
-    # Each mode individually guarded: one mode crashing must not zero the
-    # round's perf record. Two passes, minutes apart by construction, with
-    # per-mode bests: the tunnel's throughput drifts on a minutes scale
-    # (NOTES.md round 3), so back-to-back blocks alone can't escape a slow
-    # phase.
-    sweep: dict[str, object] = {}
-    degraded_ms: dict[str, float] = {}
     # at sub-benchmark scale (the contract tests run size 16) a short
-    # timing protocol suffices; the drift-aware 3-block protocol is for
-    # the real 512^3 driver runs on the tunnel
+    # timing protocol suffices
     small = size < 256
-    tm = dict(warmup=1, timed=4, blocks=1) if small else {}
+    modes = ("default", "no_dda", "raymarch")
 
-    def sweep_pass(pass_i: int) -> None:
-        for mode in ("default", "no_dda", "raymarch"):
-            try:
-                r.render_mode = mode  # resets accumulation + respecializes
-                t0 = time.time()
-                ms = round(_time_mode(r, **tm), 3)
-                prev = sweep.get(mode)
-                sweep[mode] = min(prev, ms) if isinstance(prev, float) else ms
-                print(
-                    f"# pass {pass_i} {mode}: {ms} ms/sample "
-                    f"(incl. compile {time.time() - t0:.0f}s)",
-                    file=sys.stderr,
-                )
-            except DegradedChipError as e:
-                degraded_ms[mode] = min(degraded_ms.get(mode, e.frame_ms), e.frame_ms)
-                print(f"# pass {pass_i} {mode}: {e}", file=sys.stderr)
-            except Exception as e:  # noqa: BLE001
-                if not isinstance(sweep.get(mode), float):
-                    sweep[mode] = {"error": _err(e)}
-                print(f"# {mode}: FAILED {_err(e)}", file=sys.stderr)
-
-    for pass_i in range(2):
-        sweep_pass(pass_i)
-
-    # degraded-state recovery: the tunnel's degraded phases pass (NOTES.md
-    # measurement hygiene) — if the sweep produced no healthy number, wait
-    # within a bounded budget, probing with single frames, and re-sweep
-    # once the chip answers at sane speed again.
-    recovery_s = 0.0
-    if degraded_ms and not any(isinstance(v, float) for v in sweep.values()):
-        RECOVERY_BUDGET_S = 900.0
-        t_rec = time.time()
-        recovered = False
-        while time.time() - t_rec < RECOVERY_BUDGET_S:
-            time.sleep(60.0)
-            try:
-                t0 = time.perf_counter()
-                r.render_frame().block_until_ready()
-                if time.perf_counter() - t0 < FRAME_ABORT_S:
-                    recovered = True
-                    break
-            except Exception as e:  # noqa: BLE001
-                print(f"# recovery probe failed: {_err(e)}", file=sys.stderr)
+    # PASS A (pre-switch, fetch-free): compiles every mode and records the
+    # relay-ack continuity numbers — the protocol BENCH_r01-r03 used.
+    # These are NOT execution times (module docstring).
+    relay_ack: dict[str, object] = {}
+    for mode in modes:
+        try:
+            r.render_mode = mode  # resets accumulation + respecializes
+            t0 = time.time()
+            ms = round(_time_mode_relay_ack(r), 3)
+            relay_ack[mode] = ms
             print(
-                f"# chip still degraded after {time.time() - t_rec:.0f}s, waiting",
+                f"# relay-ack {mode}: {ms} ms/sample "
+                f"(incl. compile {time.time() - t0:.0f}s) [NOT execution]",
                 file=sys.stderr,
             )
-        recovery_s = time.time() - t_rec
-        if recovered:
-            print(f"# chip recovered after {recovery_s:.0f}s, re-sweeping", file=sys.stderr)
-            sweep_pass(2)
+        except Exception as e:  # noqa: BLE001
+            relay_ack[mode] = {"error": _err(e)}
+            print(f"# relay-ack {mode}: FAILED {_err(e)}", file=sys.stderr)
 
-    # a mode with only degraded frames still reports its (terrible) number
-    # rather than nothing: a parseable red number beats a crashed round
-    for mode, ms in degraded_ms.items():
-        if not isinstance(sweep.get(mode), float):
-            sweep[mode] = round(ms, 1)
+    # Switch the session to honest synchronous execution. A wedged worker
+    # can fault the switch — retry once after a pause.
+    sync_switch_s: object
+    try:
+        sync_switch_s = round(_sync_mode_switch(), 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"# sync switch failed ({_err(e)}), retrying in 60s", file=sys.stderr)
+        time.sleep(60.0)
+        try:
+            sync_switch_s = round(_sync_mode_switch(), 1)
+        except Exception as e2:  # noqa: BLE001
+            sync_switch_s = {"error": _err(e2)}
+    print(f"# sync-mode switch: {sync_switch_s}s", file=sys.stderr)
 
-    # VOLUME-FILLING leg (VERDICT r3 item 3): the same three modes with
-    # the camera framed so the AABB covers ~the whole viewport and the
-    # reference's 3x density protocol. Camera/density are traced operands
-    # (not jit statics), so this reuses the sweep's compiled functions —
-    # one pass costs seconds. Guarded like everything else.
+    # PASS B (honest): real per-frame execution times. Frames at this
+    # scale are seconds-to-minutes; budgets keep one mode from eating the
+    # round.
+    tm = dict(warmup=1, timed=2, blocks=1)
+    sweep: dict[str, object] = {}
+    for mode in modes:
+        try:
+            r.render_mode = mode
+            t0 = time.time()
+            ms = round(_time_mode(r, **tm), 3)
+            sweep[mode] = ms
+            print(
+                f"# honest {mode}: {ms} ms/sample ({time.time() - t0:.0f}s wall)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            sweep[mode] = {"error": _err(e)}
+            print(f"# honest {mode}: FAILED {_err(e)}", file=sys.stderr)
+
+    # VOLUME-FILLING leg (VERDICT r3 item 3): camera framed so the AABB
+    # covers ~the whole viewport + the reference's 3x density. At full
+    # scale only the default (headline) mode is timed — honest filled
+    # frames run minutes each and the driver's budget is finite.
     filled_sweep: dict[str, object] = {}
+    filled_modes = modes if small else ("default",)
     if any(isinstance(v, float) for v in sweep.values()):
         try:
             _frame_filled(r)
-            for mode in ("default", "no_dda", "raymarch"):
+            for mode in filled_modes:
                 try:
                     r.render_mode = mode
-                    ms = round(
-                        _time_mode(r, **(tm or dict(warmup=2, timed=12, blocks=2))), 3
-                    )
+                    ms = round(_time_mode(r, warmup=1, timed=1, blocks=1), 3)
                     filled_sweep[mode] = ms
                     print(f"# filled {mode}: {ms} ms/sample", file=sys.stderr)
                 except Exception as e:  # noqa: BLE001
@@ -384,23 +390,22 @@ def main() -> None:
             env["JAX_PLATFORMS"] = "cpu"
         try:
             proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=540, env=env
+                cmd, capture_output=True, text=True, timeout=900, env=env
             )
             if proc.returncode == 0 and proc.stdout.strip():
                 return json.loads(proc.stdout.strip().splitlines()[-1])
             return {"error": f"rc={proc.returncode}: {proc.stderr[-200:]}"}
         except subprocess.TimeoutExpired:
             print("# step stats: timed out, skipped", file=sys.stderr)
-            return {"error": "step statistics timed out after 540s; skipped"}
+            return {"error": "step statistics timed out after 900s; skipped"}
         except Exception as e:  # noqa: BLE001
             print(f"# step stats: FAILED {_err(e)}", file=sys.stderr)
             return {"error": _err(e)}
 
     steps: object = None
     steps_filled: object = None
-    if (
-        isinstance(sweep.get("default"), float)
-        and sweep["default"] < FRAME_ABORT_S * 1000.0  # skip on degraded-only
+    if isinstance(sweep.get("default"), float) or isinstance(
+        relay_ack.get("default"), float
     ):
         steps = _steps_subprocess(filled=False)
         if isinstance(filled_sweep.get("default"), float):
@@ -415,10 +420,14 @@ def main() -> None:
 
     timed = {m: v for m, v in sweep.items() if isinstance(v, float)}
     if not timed:
-        # nothing rendered at all — emit an explicit failure record; the
-        # nonzero exit marks the round red, but the payload explains why
-        print(json.dumps({"metric": "bench failed", "value": 0, "unit": "ms",
-                          "vs_baseline": 0, "sweep_ms_per_sample": sweep}))
+        # no honest number at all — emit an explicit failure record with
+        # whatever relay-ack numbers exist; the nonzero exit marks the
+        # round red, but the payload explains why
+        print(json.dumps({"metric": "bench failed (no honest timing)",
+                          "value": 0, "unit": "ms", "vs_baseline": 0,
+                          "sweep_ms_per_sample": sweep,
+                          "relay_ack_ms_per_sample": relay_ack,
+                          "sync_mode_switch_s": sync_switch_s}))
         raise SystemExit(1)
 
     headline_mode = "default" if "default" in timed else next(iter(timed))
@@ -429,27 +438,27 @@ def main() -> None:
             {
                 "metric": (
                     f"ms/frame {width}x{height} {size}^3 volume, "
-                    f"{headline_mode} path-traced sample"
+                    f"{headline_mode} path-traced sample "
+                    f"(HONEST sync-mode execution; prior rounds' values "
+                    f"were relay-ack fiction — see NOTES.md r5)"
                 ),
                 "value": ms_per_frame,
                 "unit": "ms",
-                "vs_baseline": round(baseline_ms / ms_per_frame, 4),
+                "vs_baseline": round(baseline_ms / ms_per_frame, 6),
                 "sweep_ms_per_sample": sweep,
                 "filled_sweep_ms_per_sample": filled_sweep,
-                "mrays_per_s": round(width * height / (ms_per_frame / 1000.0) / 1e6, 1),
+                "relay_ack_ms_per_sample": relay_ack,
+                "sync_mode_switch_s": sync_switch_s,
+                "timing_protocol": (
+                    "sync-mode real execution (fetch-first); "
+                    "relay_ack_* reproduces the void BENCH_r01-r03 protocol"
+                ),
+                "mrays_per_s": round(width * height / (ms_per_frame / 1000.0) / 1e6, 4),
                 "steps": steps,
                 "steps_filled": steps_filled,
                 "ingest_s": ingest_s,
                 "setup_s": round(setup_s, 1),
                 "setup_stages": setup_stages,
-                **(
-                    {
-                        "chip_degraded_modes": sorted(degraded_ms),
-                        "recovery_wait_s": round(recovery_s, 1),
-                    }
-                    if degraded_ms
-                    else {}
-                ),
             }
         )
     )

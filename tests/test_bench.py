@@ -52,6 +52,14 @@ def test_bench_emits_json(monkeypatch, capsys):
     assert set(filled) == {"default", "no_dda", "raymarch"}
     assert all(isinstance(v, float) for v in filled.values())
     assert payload["steps_filled"]["mode"] == "default"
+    # timing-integrity fields (round-5 discovery): the honest sync-mode
+    # protocol is the headline; the relay-ack continuity numbers and the
+    # switch cost ride along
+    relay = payload["relay_ack_ms_per_sample"]
+    assert set(relay) == {"default", "no_dda", "raymarch"}
+    assert all(isinstance(v, float) for v in relay.values())
+    assert isinstance(payload["sync_mode_switch_s"], (int, float))
+    assert "sync-mode" in payload["timing_protocol"]
     # setup attribution (VERDICT r3 item 6): env importance build and
     # backend init are their own line items
     for key in ("backend_init_s", "env_importance_build_s", "renderer_init_s"):
@@ -115,32 +123,54 @@ def test_bench_survives_mode_crash(monkeypatch, capsys):
     assert isinstance(sweep["raymarch"], float)
 
 
-def test_bench_degraded_chip_still_prints(monkeypatch, capsys):
-    """A fully-degraded chip (every frame over the abort budget) must not
-    crash or hang the bench: each mode costs ~2 frames, the bounded
-    recovery wait runs, and the JSON line reports the degraded number
-    with an explicit marker instead of nothing."""
+def test_bench_frame_budget_degrades_mode(monkeypatch, capsys):
+    """A mode whose honest frames blow FRAME_BUDGET_S degrades to an
+    error entry; with EVERY honest mode over budget the bench exits red
+    but still prints a parseable record carrying the relay-ack numbers
+    (an explained failure beats a hang — one pathological mode must not
+    eat the driver's round)."""
     bench = _load_bench()
 
-    def degraded(r, **kw):
-        raise bench.DegradedChipError(34000.0)
+    def over_budget(r, **kw):
+        raise bench.FrameBudgetError(1234.0)
 
-    sleeps: list[float] = []
-    monkeypatch.setattr(bench, "_time_mode", degraded)
-    monkeypatch.setattr(
-        bench.time, "sleep", lambda s: sleeps.append(s), raising=True
-    )
+    monkeypatch.setattr(bench, "_time_mode", over_budget)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "16", "64", "36"])
+    with pytest.raises(SystemExit):
+        bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["value"] == 0
+    sweep = payload["sweep_ms_per_sample"]
+    assert all("frame exceeded budget" in v["error"] for v in sweep.values())
+    # the fetch-free continuity pass ran before the honest pass died
+    relay = payload["relay_ack_ms_per_sample"]
+    assert all(isinstance(v, float) for v in relay.values())
+
+
+def test_bench_sync_switch_failure_degrades(monkeypatch, capsys):
+    """A faulting sync-mode switch (wedged worker) is retried once and
+    then recorded as an error field — the honest sweep still runs (its
+    numbers are then relay-paced, but the record says so)."""
+    bench = _load_bench()
+
+    calls: list[int] = []
+
+    def failing_switch():
+        calls.append(1)
+        raise RuntimeError("simulated UNAVAILABLE")
+
+    monkeypatch.setattr(bench, "_sync_mode_switch", failing_switch)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None, raising=True)
     monkeypatch.setattr(sys, "argv", ["bench.py", "16", "64", "36"])
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     payload = json.loads(out[-1])
-    assert payload["value"] == 34000.0
-    assert payload["vs_baseline"] < 0.001
-    assert payload["chip_degraded_modes"] == ["default", "no_dda", "raymarch"]
-    assert "recovery_wait_s" in payload
-    assert sleeps, "recovery loop should have waited for the chip"
-    # degraded default must not trigger the step-stats subprocess
-    assert payload["steps"] is None
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in payload, f"required key {key} missing"
+    assert len(calls) == 2, "switch should be retried once"
+    assert "error" in payload["sync_mode_switch_s"]
+    assert isinstance(payload["value"], float)
 
 
 def test_bench_total_failure_still_prints(monkeypatch, capsys):

@@ -381,12 +381,15 @@ def test_compact_secondary_bit_identical(grid):
     wavefront) is advertised bit-identical in docs/PARITY.md — pin it.
     The guarantee rests on the per-lane masked-RNG invariant: compaction
     only permutes lanes, every lane's draw sequence is a function of its
-    own state (render/rng.py), so any reordering renders the same image."""
-    from volxel_tpu.render.pathtrace import render_sample
+    own state (render/rng.py), so any reordering renders the same image.
+    Rendered at 128x128 = COMPACT_MIN_LANES so the compacted path (which
+    only engages at real wavefront widths) is actually exercised."""
+    from volxel_tpu.render.pathtrace import COMPACT_MIN_LANES, render_sample
 
-    r = _renderer(grid, size=24, bounces=3)
+    r = _renderer(grid, size=128, bounces=3)
     r.render_frame()  # build operands
     config, *rest = r._cached_operands
+    assert config.width * config.height >= COMPACT_MIN_LANES
     images = {}
     for flag in (False, True):
         cfg = config._replace(compact_secondary=flag)

@@ -62,7 +62,7 @@ class Renderer:
         width: int = 1920,
         height: int = 1080,
         maj_dtype: str = "float32",
-        premul_majorant: bool = False,
+        premul_majorant: bool = True,
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
@@ -74,9 +74,9 @@ class Renderer:
         self.maj_dtype = maj_dtype
         # fold transfer alpha into the majorant pyramid in-graph so the
         # DDA march gathers once per step instead of twice
-        # (RenderConfig.premul_majorant). Bit-identical renders; measured a
-        # WASH on hardware (examples/ab_premul.py — the march is bound by
-        # loop overhead, not gather count; NOTES.md), so off by default.
+        # (RenderConfig.premul_majorant). Bit-identical renders; the
+        # honest sync-mode A/B measured -9.6% real frame time
+        # (examples/profile_real3.py, NOTES.md r5), so default ON.
         self.premul_majorant = bool(premul_majorant)
         self.settings = settings or ViewerSettings()
 

@@ -137,6 +137,82 @@ def _step_majorant(grid, params, lut, curr, mip_i, envelope: bool):
     )
 
 
+# compacted decode engages at real wavefront widths only (matches
+# pathtrace.COMPACT_MIN_LANES); below it the plain full-width decode keeps
+# small renders single-program and exactly reproducible across shardings
+COMPACT_DECODE_MIN_LANES = 16384
+
+
+def _decode_rgba(grid, params, lut, pos):
+    """Collision-point density decode: trilinear + transfer LUT (the
+    9-gather chain of dda.glsl:81-83)."""
+    return lookup_transfer(
+        lut,
+        params.sample_range,
+        lookup_density_trilinear(grid, params, pos) * params.inv_maj,
+    )
+
+
+def _compact_decode_rgba(grid, params, lut, pos, live):
+    """_decode_rgba evaluated only (approximately) for `live` lanes.
+
+    XLA TPU lowers the per-lane volume gathers to serialized ~27-50
+    ns/element accesses (NOTES.md r5 real profile), so decode cost is
+    proportional to WIDTH, not work masked: sorting live lanes to a
+    prefix and decoding at the narrowest sufficient width (n/8, n/4,
+    n/2, n — runtime lax.cond ladder) makes the per-iteration collision
+    decode cost track the collided fraction instead of the wavefront
+    width. Iterations with no collisions skip everything (one
+    any-reduce).
+
+    Contract (same class as RenderConfig.tile_chunks): per-lane values
+    are a pure function of the lane's own inputs, but XLA's fused
+    codegen rounds transcendentals position-dependently at the ulp
+    level, so a lane decoded at a different width/position may differ by
+    an ulp — same estimator, possibly a different equally-valid
+    realization. Exact bitwise reproducibility across shard geometries
+    is only guaranteed with compact_decode off.
+    """
+    n = live.shape[0]
+    if n < COMPACT_DECODE_MIN_LANES:
+        return _decode_rgba(grid, params, lut, pos)
+
+    def no_collisions(_):
+        return jnp.zeros((n, 4), jnp.float32)
+
+    def compacted(_):
+        order = jnp.argsort(~live, stable=True)  # live lanes first
+        inv = jnp.argsort(order, stable=True)
+        pos_p = pos[order]
+        cnt = jnp.sum(live)
+
+        def decode_at(width):
+            def f(_):
+                rgba_w = _decode_rgba(grid, params, lut, pos_p[:width])
+                return jnp.concatenate(
+                    [rgba_w, jnp.zeros((n - width, 4), jnp.float32)], axis=0
+                )
+
+            return f
+
+        rgba_p = jax.lax.cond(
+            cnt * 8 <= n,
+            decode_at(n // 8),
+            lambda _: jax.lax.cond(
+                cnt * 4 <= n,
+                decode_at(n // 4),
+                lambda __: jax.lax.cond(
+                    cnt * 2 <= n, decode_at(n // 2), decode_at(n), __
+                ),
+                _,
+            ),
+            0,
+        )
+        return rgba_p[inv]
+
+    return jax.lax.cond(jnp.any(live), compacted, no_collisions, 0)
+
+
 def sample_volume_dda(
     grid, params, lut, origin, direction, state, active,
     majorant_envelope: bool = False, with_stats: bool = False,

@@ -71,22 +71,28 @@ class RenderConfig(NamedTuple):
     # lax.maps the trace over coherent pixel blocks, letting each block
     # exit at its local maximum instead. None = single wavefront.
     chunk_size: int | None = None
-    # perf candidate (NOTES "Round-2 perf candidates" item 1): stable-sort
-    # secondary rays (NEE shadow rays; bounce>=2 extension rays) so live
-    # lanes occupy a prefix, and when they fit in half the wavefront run
-    # the traversal loop at half vector width (lax.cond picks the branch
-    # at runtime). Per-lane RNG state travels with its lane, so renders
-    # stay bit-identical. Off by default pending the hardware A/B.
-    compact_secondary: bool = False
+    # stable-sort secondary rays (NEE shadow rays; bounce>=2 extension
+    # rays) so live lanes occupy a prefix, and when they fit in half the
+    # wavefront run the traversal loop at half vector width (lax.cond
+    # picks the branch at runtime). Per-lane RNG state travels with its
+    # lane, so renders stay bit-identical
+    # (tests/test_render.py::test_compact_secondary_bit_identical).
+    # Default ON: the honest sync-mode A/B measured -7.2% real frame time
+    # (9.07 vs 9.78 s at 960x540/256^3 — examples/profile_real3.py,
+    # NOTES.md r5 discovery section; the earlier "wash" was relay-ack
+    # fiction).
+    compact_secondary: bool = True
     # fold vol_maj * transfer_alpha(...) into the majorant pyramid
     # IN-GRAPH (modes.build_premul_majorant, hoisted as loop-invariant by
     # XLA) so the DDA march gathers once per step instead of pyramid +
     # LUT. Bit-identical renders (pinned by
-    # tests/test_render.py::test_premul_majorant_bit_identity); measured a
-    # WASH on hardware across three build strategies
-    # (examples/ab_premul.py, NOTES.md r5 — the march is bound by loop
-    # overhead, not gather count), so off by default.
-    premul_majorant: bool = False
+    # tests/test_render.py::test_premul_majorant_bit_identity). Default
+    # ON: the honest sync-mode A/B measured -9.6% real frame time (8.83
+    # vs 9.78 s at 960x540/256^3 — examples/profile_real3.py; XLA TPU
+    # gathers serialize at ~27 ns/element, so removing one gather per
+    # march step is a real win; the earlier "wash" was relay-ack
+    # fiction, NOTES.md r5 discovery section).
+    premul_majorant: bool = True
     # tile-major chunk ordering (NOTES r5): group each lockstep chunk as a
     # 2D tile instead of a full-width scanline band, so a chunk's
     # worst-case lane is drawn from a compact screen region — background
@@ -102,6 +108,13 @@ class RenderConfig(NamedTuple):
     # tests/test_render.py::test_tile_chunks_same_estimator). Only
     # engages when the frame is actually chunked (>~131k pixels).
     tile_chunks: bool = True
+
+
+# compact_secondary only engages at real wavefront widths: below this the
+# sort/permute/cond machinery costs more in compile time than the halved
+# traversal saves (and small CPU test renders keep the plain single-path
+# program). Static gate — n is known at trace time.
+COMPACT_MIN_LANES = 16384
 
 
 def _compacted_secondary(fn, n_fill, valid, lane_arrays, fill_values):
@@ -173,7 +186,7 @@ def trace_path(
         return lookup_environment_light(env, directions, light_dir)
 
     for bounce in range(config.bounces):
-        if config.compact_secondary and bounce > 0:
+        if config.compact_secondary and bounce > 0 and n >= COMPACT_MIN_LANES:
             # extension rays: most lanes are dead after bounce 1
             state, hit, t, rgb, le_add = _compacted_secondary(
                 lambda o, d, st, a: sample_volume(grid, params, lut, o, d, st, a),
@@ -229,7 +242,7 @@ def trace_path(
             if config.show_environment
             else jnp.ones((n,), jnp.float32)
         )
-        if config.compact_secondary:
+        if config.compact_secondary and n >= COMPACT_MIN_LANES:
             state, tr = _compacted_secondary(
                 lambda o, w, st, v: transmittance(grid, params, lut, o, w, st, v),
                 2,
