@@ -392,7 +392,12 @@ def test_compact_secondary_bit_identical(grid):
     assert config.width * config.height >= COMPACT_MIN_LANES
     images = {}
     for flag in (False, True):
-        cfg = config._replace(compact_secondary=flag)
+        # compact_decode pinned OFF: at this width (= the compact gate)
+        # the compacted decode ladder runs at arm-dependent widths, whose
+        # position-dependent transcendental rounding would mask the
+        # permutation invariant this test pins (see
+        # test_compact_decode_same_estimator_wide for that contract).
+        cfg = config._replace(compact_secondary=flag, compact_decode=False)
         images[flag] = np.asarray(render_sample(cfg, *rest, jnp.uint32(7)))
     np.testing.assert_array_equal(images[True], images[False])
 
@@ -415,6 +420,124 @@ def test_premul_majorant_bit_identity(grid):
             cfg = config._replace(premul_majorant=flag)
             images[flag] = np.asarray(render_sample(cfg, *rest, jnp.uint32(9)))
         np.testing.assert_array_equal(images[True], images[False])
+
+
+def test_compact_decode_bit_identical_small(grid):
+    """RenderConfig.compact_decode swaps the two-phase DDA for the
+    single-loop compacted-collision-decode form
+    (modes.sample_volume_dda_compact / transmittance_dda_compact). Below
+    modes.COMPACT_DECODE_MIN_LANES lanes the decode falls back to full
+    width, where the variant must be BIT-identical to the two-phase form
+    — this pins that the per-lane op + RNG-draw sequences are the same
+    loop restructured, not a different estimator. Covers the physical
+    transmittance/majorant branches too."""
+    from volxel_tpu.render.modes import COMPACT_DECODE_MIN_LANES
+    from volxel_tpu.render.pathtrace import render_sample
+
+    for phys in (False, True):
+        r = _renderer(
+            grid, size=32, bounces=3,
+            physical_shadows=phys, physical_majorant=phys,
+        )
+        r.render_frame()
+        config, *rest = r._cached_operands
+        assert config.width * config.height < COMPACT_DECODE_MIN_LANES
+        images = {}
+        for flag in (False, "loop", "phase2", "mixed"):
+            cfg = config._replace(compact_decode=flag)
+            images[flag] = np.asarray(render_sample(cfg, *rest, jnp.uint32(11)))
+        np.testing.assert_array_equal(images["loop"], images[False])
+        np.testing.assert_array_equal(images["phase2"], images[False])
+        np.testing.assert_array_equal(images["mixed"], images[False])
+
+
+def test_dda_unroll_bit_identical(grid):
+    """RenderConfig.dda_unroll runs K march steps per two-phase inner
+    while_loop iteration. The march consumes no RNG and every update is
+    masked, so any unroll must render BIT-identically (the `it < cap`
+    march guard + any(march) iteration increment reproduce the rolled
+    loop's exits exactly, even at round boundaries)."""
+    from volxel_tpu.render.pathtrace import render_sample
+
+    r = _renderer(grid, size=32, bounces=3, physical_shadows=True)
+    r.render_frame()
+    config, *rest = r._cached_operands
+    images = {
+        k: np.asarray(
+            render_sample(config._replace(dda_unroll=k), *rest, jnp.uint32(13))
+        )
+        for k in (1, 3, 4)
+    }
+    np.testing.assert_array_equal(images[3], images[1])
+    np.testing.assert_array_equal(images[4], images[1])
+
+
+def test_compact_decode_same_estimator_wide(grid, monkeypatch):
+    """At compacted widths the decode runs at a lane-count-dependent
+    width (n/8..n lax.cond ladder), so the tile_chunks ulp contract
+    applies: XLA rounds fused transcendentals position-dependently, an
+    ulp can flip a stochastic compare, and a FEW pixels may render a
+    different equally-valid realization. Pin that contract (almost all
+    pixels bit-equal, converged images agree) with the gate lowered so
+    the compacted ladder actually runs at test scale."""
+    import volxel_tpu.render.modes as modes
+    from volxel_tpu.render.pathtrace import render_sample, render_sample_batch
+
+    monkeypatch.setattr(modes, "COMPACT_DECODE_MIN_LANES", 256)
+    r = _renderer(grid, size=48, bounces=2)
+    r.render_frame()
+    config, *rest = r._cached_operands
+    arms = (False, "loop", "phase2")
+    cfgs = {flag: config._replace(compact_decode=flag) for flag in arms}
+    one = {
+        flag: np.asarray(render_sample(cfg, *rest, jnp.uint32(5)))
+        for flag, cfg in cfgs.items()
+    }
+    mean = {
+        flag: np.asarray(render_sample_batch(32, cfg, *rest, jnp.uint32(0)))
+        for flag, cfg in cfgs.items()
+    }
+    n = one[False].shape[0]
+    for flag in ("loop", "phase2"):
+        diff_pixels = int((one[flag] != one[False]).any(axis=-1).sum())
+        assert diff_pixels <= max(2, n // 200), (
+            f"{flag}: {diff_pixels}/{n} pixels differ — compact_decode is no "
+            "longer a near-pure restructure; investigate before shipping"
+        )
+        np.testing.assert_allclose(mean[flag], mean[False], atol=0.08)
+        assert np.abs(mean[flag] - mean[False]).mean() < 2e-3
+
+
+def test_compact_env_same_estimator(grid, monkeypatch):
+    """RenderConfig.compact_env (ladder-compacted NEE env warp + escape
+    lookup/pdf, default ON) pins its contract: dead-lane fills never leak
+    (they are masked by valid_nee/miss), live-lane values match the
+    full-width evaluation up to the ulp realization contract."""
+    import volxel_tpu.render.pathtrace as pt
+    from volxel_tpu.render.pathtrace import render_sample, render_sample_batch
+
+    monkeypatch.setattr(pt, "COMPACT_MIN_LANES", 256)
+    r = _renderer(grid, size=48, bounces=3)
+    r.render_frame()
+    config, *rest = r._cached_operands
+    assert config.use_env  # NEE warp compaction only engages on the env path
+    cfgs = {flag: config._replace(compact_env=flag) for flag in (False, True)}
+    one = {
+        flag: np.asarray(render_sample(cfg, *rest, jnp.uint32(5)))
+        for flag, cfg in cfgs.items()
+    }
+    n = one[True].shape[0]
+    diff_pixels = int((one[True] != one[False]).any(axis=-1).sum())
+    assert diff_pixels <= max(2, n // 200), (
+        f"{diff_pixels}/{n} pixels differ — compact_env fills are leaking "
+        "or the compaction is no longer near-pure"
+    )
+    mean = {
+        flag: np.asarray(render_sample_batch(32, cfg, *rest, jnp.uint32(0)))
+        for flag, cfg in cfgs.items()
+    }
+    np.testing.assert_allclose(mean[True], mean[False], atol=0.08)
+    assert np.abs(mean[True] - mean[False]).mean() < 2e-3
 
 
 def test_tile_dims_selection():

@@ -63,6 +63,7 @@ class Renderer:
         height: int = 1080,
         maj_dtype: str = "float32",
         premul_majorant: bool = True,
+        compact_decode: bool | str = "loop",
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
@@ -78,6 +79,12 @@ class Renderer:
         # honest sync-mode A/B measured -9.6% real frame time
         # (examples/profile_real3.py, NOTES.md r5), so default ON.
         self.premul_majorant = bool(premul_majorant)
+        # single-loop DDA with the collision decode compacted to the
+        # collided lanes (RenderConfig.compact_decode). Same estimator;
+        # bit-identical below modes.COMPACT_DECODE_MIN_LANES lanes, ulp
+        # realization contract above. Default "loop": -67.6% real frame
+        # time in the honest sync-mode A/B (examples/ab_compact.py).
+        self.compact_decode = compact_decode
         self.settings = settings or ViewerSettings()
 
         self.camera = Camera(1.0)
@@ -314,12 +321,18 @@ class Renderer:
         return max(1, round(self.width * factor)), max(1, round(self.height * factor))
 
     @staticmethod
-    def _pick_chunk_size(n: int, target: int = 131072) -> int | None:
+    def _pick_chunk_size(n: int, target: int = 16200) -> int | None:
         """Largest divisor of n at most ~target (wavefront chunking).
 
         Chunking lets coherent pixel blocks exit traversal loops at their
-        local worst case instead of the global one — measured 15x on
-        background-heavy 1080p scenes.
+        local worst case instead of the global one. Target 16200: the
+        honest sync-mode sweep (examples/ab_chunk2.py, 960x540/256^3,
+        compact_decode="loop") measured 0.72 s/sample at 16200-lane tile
+        chunks vs 0.85 at 32400, 2.75 at 129600 (the old relay-fiction
+        sweep that picked 131072 called them all "within noise"), 0.74 at
+        8100 — march cost is width x local-max-steps x serialized-gather
+        latency, so smaller coherent tiles cut the max-vs-average
+        divergence penalty until per-chunk fixed costs bite.
         """
         if n <= target:
             return None
@@ -345,6 +358,7 @@ class Renderer:
             physical_majorant=bool(self.settings.physical_majorant),
             physical_pdf=bool(self.settings.physical_pdf),
             premul_majorant=self.premul_majorant,
+            compact_decode=self.compact_decode,
         )
 
     def volume_params(self) -> VolumeParams:

@@ -139,8 +139,10 @@ def _step_majorant(grid, params, lut, curr, mip_i, envelope: bool):
 
 # compacted decode engages at real wavefront widths only (matches
 # pathtrace.COMPACT_MIN_LANES); below it the plain full-width decode keeps
-# small renders single-program and exactly reproducible across shardings
-COMPACT_DECODE_MIN_LANES = 16384
+# small renders single-program and exactly reproducible across shardings.
+# 6144 = strictly above the largest bit-pinned test render (64^2 = 4096
+# lanes) and below the smallest production chunk size (8100).
+COMPACT_DECODE_MIN_LANES = 6144
 
 
 def _decode_rgba(grid, params, lut, pos):
@@ -216,8 +218,26 @@ def _compact_decode_rgba(grid, params, lut, pos, live):
 def sample_volume_dda(
     grid, params, lut, origin, direction, state, active,
     majorant_envelope: bool = False, with_stats: bool = False,
+    compact_phase2: bool = False, inner_unroll: int = 1,
 ):
     """Two-phase DDA distance sampling (dda.glsl:65-98).
+
+    inner_unroll runs that many march steps per phase-1 while_loop
+    iteration — the march consumes no RNG and every update is masked, so
+    the per-lane trajectories are bit-identical for any unroll (the step
+    guard `it < cap` and the any(march) iteration count reproduce the
+    rolled loop's exit behavior exactly); it trades (inner_unroll - 1)
+    wasted masked sub-steps at round boundaries for that fraction of the
+    while_loop's per-iteration dispatch overhead.
+
+    compact_phase2 routes the phase-2 collision decode through
+    _compact_decode_rgba (decode only the parked lanes, at the narrowest
+    sufficient width) instead of the full wavefront width — the parked
+    fraction per outer round is typically small, and XLA TPU serializes
+    gathers per element, so the decode is the dominant outer-round cost
+    (NOTES.md r5 real profile). Same values for consumed lanes
+    (_compact_decode_rgba contract: bit-equal below
+    COMPACT_DECODE_MIN_LANES, ulp-level above).
 
     TPU restructure of the per-pixel loop: the GLSL evaluates the
     expensive trilinear+LUT density decode only on collision iterations,
@@ -277,12 +297,15 @@ def sample_volume_dda(
             running, it, pending = c[3], c[4], c[5]
             return jnp.any(running & ~pending) & (it < DDA_SAMPLE_MAX_STEPS)
 
-        def inner_body(c):
+        def inner_step(c):
             if with_stats:
                 t, tau, mip, running, it, pending, maj_s, steps = c
             else:
                 t, tau, mip, running, it, pending, maj_s = c
-            march = running & ~pending
+            # the it-cap guard + any(march) increment make unrolled
+            # sub-steps exact no-ops once the rolled loop would have
+            # exited (bit-identical for any inner_unroll)
+            march = running & ~pending & (it < DDA_SAMPLE_MAX_STEPS)
             mip_i = _round_mip(mip)
             curr = ipos + t[..., None] * idir
             majorant = _step_majorant(
@@ -308,12 +331,17 @@ def sample_volume_dda(
             maj_s = jnp.where(new_pending, majorant, maj_s)
             pending = pending | new_pending
             running = running & ~esc_c & ~out_far
-            out = (t, tau, mip, running, it + 1, pending, maj_s)
+            out = (t, tau, mip, running, it + jnp.any(march).astype(jnp.int32), pending, maj_s)
             if with_stats:
                 # identical per-lane counts to the single-loop form: each
                 # march iteration was one body iteration there
                 return out + (steps + march.astype(jnp.int32),)
             return out
+
+        def inner_body(c):
+            for _ in range(inner_unroll):
+                c = inner_step(c)
+            return c
 
         inner_init = (t, tau, mip, running, it, pending, maj_s)
         if with_stats:
@@ -324,19 +352,24 @@ def sample_volume_dda(
             steps = inner_out[7]
 
         # ---- phase 2: decode density + draws for all parked lanes ----
-        rgba = lookup_transfer(
-            lut,
-            params.sample_range,
-            lookup_density_trilinear(grid, params, ipos + t[..., None] * idir)
-            * params.inv_maj,
-        )
+        live = running & pending
+        if compact_phase2:
+            rgba = _compact_decode_rgba(
+                grid, params, lut, ipos + t[..., None] * idir, live
+            )
+        else:
+            rgba = lookup_transfer(
+                lut,
+                params.sample_range,
+                lookup_density_trilinear(grid, params, ipos + t[..., None] * idir)
+                * params.inv_maj,
+            )
         d = params.vol_maj * rgba[..., 3]
         # GLSL draw protocol (dda.glsl:81-96): the real/null draw happens
         # only on non-escaped collision iterations; the tau reset only on
         # NULL collisions (a real collision returns before it). Masked
         # consumption keeps per-lane streams identical to the reference
         # (and independent of wavefront iteration count / sharding).
-        live = running & pending
         state, xi1 = rng_where(live, state)
         real = xi1 * maj_s < d
         state, xi2 = rng_where(live & ~real, state)
@@ -360,6 +393,216 @@ def sample_volume_dda(
     return state, hit, t, rgb, le_add
 
 
+def sample_volume_dda_compact(
+    grid, params, lut, origin, direction, state, active,
+    majorant_envelope: bool = False, with_stats: bool = False,
+):
+    """Single-loop DDA distance sampling with a COMPACTED collision decode.
+
+    Same per-lane op + RNG-draw protocol as sample_volume_dda (every draw
+    consumed exactly where dda.glsl:65-98 consumes it), structured for the
+    real TPU cost model (NOTES.md r5): serialized gathers make decode cost
+    proportional to width, and the two-phase loop's park-and-wait makes
+    every parked lane wait for the chunk's slowest marcher each round
+    (sum_k max_l steps_k >= max_l sum_k steps). Here every running lane
+    marches every iteration (iterations = the chunk's max TOTAL path
+    length) and the expensive 9-gather collision decode runs compacted to
+    the collided lanes via _compact_decode_rgba. Realization contract:
+    see _compact_decode_rgba (ulp-level, same estimator).
+    """
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+    ri = 1.0 / idir
+
+    state, xi = rng_where(active & hit_box, state)
+    t0 = near + 1e-6
+    tau0 = -jnp.log(1.0 - xi)
+    running0 = active & hit_box & (t0 < far)
+
+    n = origin.shape[0]
+    init = (
+        state,
+        t0,
+        tau0,
+        jnp.full((n,), MIP_START, jnp.float32),
+        running0,
+        jnp.zeros((n,), jnp.bool_),  # hit
+        jnp.ones((n, 3), jnp.float32),  # rgb at collision
+        jnp.int32(0),
+    )
+    if with_stats:
+        init = init + (jnp.zeros((n,), jnp.int32),)
+
+    def cond(carry):
+        running, it = carry[4], carry[7]
+        return jnp.any(running) & (it < DDA_SAMPLE_MAX_STEPS)
+
+    def body(carry):
+        if with_stats:
+            (state, t, tau, mip, running, hit, rgb_out, it, steps) = carry
+        else:
+            (state, t, tau, mip, running, hit, rgb_out, it) = carry
+            steps = None
+
+        mip_i = _round_mip(mip)
+        curr = ipos + t[..., None] * idir
+        majorant = _step_majorant(grid, params, lut, curr, mip_i, majorant_envelope)
+        dt = _step_dda(curr, ri, mip_i)
+        t_new = t + dt
+        tau_new = tau - majorant * dt
+        collided = tau_new <= 0.0
+        t_coll = t_new + tau_new / jnp.maximum(majorant, 1e-20)
+        escaped = t_coll >= far
+
+        coll = running & collided
+        esc_c = coll & escaped  # escape at the collision: no draws
+        live = coll & ~escaped
+        out_far = running & ~collided & (t_new >= far)
+        t = jnp.where(coll, t_coll, jnp.where(running, t_new, t))
+        tau = jnp.where(running & ~collided, tau_new, tau)
+        mip = jnp.where(
+            running & ~collided, jnp.minimum(mip + MIP_SPEED_UP, 3.0), mip
+        )
+
+        # collision decode, compacted to the collided lanes
+        rgba = _compact_decode_rgba(
+            grid, params, lut, ipos + t[..., None] * idir, live
+        )
+        d = params.vol_maj * rgba[..., 3]
+        state, xi1 = rng_where(live, state)
+        real = xi1 * majorant < d
+        state, xi2 = rng_where(live & ~real, state)
+        tau = jnp.where(live & ~real, -jnp.log(1.0 - xi2), tau)
+        mip = jnp.where(live & ~real, jnp.maximum(0.0, mip - MIP_SPEED_DOWN), mip)
+        new_hit = live & real
+        rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
+        hit = hit | new_hit
+        running = running & ~new_hit & ~esc_c & ~out_far
+        out = (state, t, tau, mip, running, hit, rgb_out, it + 1)
+        if with_stats:
+            # every body iteration is one marching step for running lanes
+            # (the pre-update running mask, matching the two-phase count)
+            return out + (steps + carry[4].astype(jnp.int32),)
+        return out
+
+    final = jax.lax.while_loop(cond, body, init)
+    state, t, hit, rgb = final[0], final[1], final[5], final[6]
+    le_add = jnp.zeros((n, 3), jnp.float32)
+    if with_stats:
+        return state, hit, t, rgb, le_add, final[8]
+    return state, hit, t, rgb, le_add
+
+
+def transmittance_dda_compact(
+    grid,
+    params,
+    lut,
+    origin,
+    direction,
+    state,
+    active,
+    physical: bool = False,
+    majorant_envelope: bool = False,
+    with_stats: bool = False,
+):
+    """Single-loop transmittance with a compacted collision decode —
+    sample_volume_dda_compact's counterpart of transmittance_dda (same
+    per-lane draw protocol as dda.glsl:21-62)."""
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+    ri = 1.0 / idir
+
+    state, xi = rng_where(active & hit_box, state)
+    t0 = near + 1e-6
+    tau0 = -jnp.log(1.0 - xi)
+    running0 = active & hit_box & (t0 < far)
+
+    n = origin.shape[0]
+    init = (
+        state,
+        t0,
+        tau0,
+        jnp.full((n,), MIP_START, jnp.float32),
+        running0,
+        jnp.ones((n,), jnp.float32),  # Tr
+        jnp.int32(0),
+    )
+    if with_stats:
+        init = init + (jnp.zeros((n,), jnp.int32),)
+
+    def cond(carry):
+        running, it = carry[4], carry[6]
+        return jnp.any(running) & (it < DDA_TRANSMITTANCE_MAX_STEPS)
+
+    def body(carry):
+        if with_stats:
+            (state, t, tau, mip, running, tr, it, steps) = carry
+        else:
+            (state, t, tau, mip, running, tr, it) = carry
+            steps = None
+
+        mip_i = _round_mip(mip)
+        curr = ipos + t[..., None] * idir
+        majorant = _step_majorant(grid, params, lut, curr, mip_i, majorant_envelope)
+        dt = _step_dda(curr, ri, mip_i)
+        t_new = t + dt
+        tau_new = tau - majorant * dt
+        collided = tau_new <= 0.0
+        t_coll = t_new + tau_new / jnp.maximum(majorant, 1e-20)
+        escaped = t_coll >= far
+
+        coll = running & collided
+        esc_c = coll & escaped
+        check = coll & ~escaped
+        out_far = running & ~collided & (t_new >= far)
+        t = jnp.where(coll, t_coll, jnp.where(running, t_new, t))
+        tau = jnp.where(running & ~collided, tau_new, tau)
+        mip = jnp.where(
+            running & ~collided, jnp.minimum(mip + MIP_SPEED_UP, 3.0), mip
+        )
+
+        rgba = _compact_decode_rgba(
+            grid, params, lut, ipos + t[..., None] * idir, check
+        )
+        d = params.vol_maj * rgba[..., 3]
+        state, xi1 = rng_where(check, state)
+        real = xi1 * majorant < d
+
+        if physical:
+            ratio = jnp.maximum(0.0, 1.0 - d / jnp.maximum(majorant, 1e-20))
+        else:
+            ratio = jnp.maximum(
+                0.0, 1.0 - params.vol_maj / jnp.maximum(majorant, 1e-20)
+            )
+        tr_new = jnp.where(check & real, tr * ratio, tr)
+        rr_active = check & real & (tr_new < 0.1)
+        state, xi_rr = rng_where(rr_active, state)
+        killed = rr_active & (xi_rr < (1.0 - tr_new))
+        tr_new = jnp.where(
+            rr_active & ~killed, tr_new / jnp.maximum(tr_new, 1e-20), tr_new
+        )
+        tr = jnp.where(killed, 0.0, tr_new)
+
+        state, xi2 = rng_where(check & ~killed, state)
+        tau = jnp.where(check, -jnp.log(1.0 - xi2), tau)
+        mip = jnp.where(check, jnp.maximum(0.0, mip - MIP_SPEED_DOWN), mip)
+        running = running & ~killed & ~esc_c & ~out_far
+        out = (state, t, tau, mip, running, tr, it + 1)
+        if with_stats:
+            return out + (steps + carry[4].astype(jnp.int32),)
+        return out
+
+    final = jax.lax.while_loop(cond, body, init)
+    state, tr = final[0], final[5]
+    if with_stats:
+        return state, tr, final[7]
+    return state, tr
+
+
 def transmittance_dda(
     grid,
     params,
@@ -371,6 +614,8 @@ def transmittance_dda(
     physical: bool = False,
     majorant_envelope: bool = False,
     with_stats: bool = False,
+    compact_phase2: bool = False,
+    inner_unroll: int = 1,
 ):
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
@@ -417,12 +662,14 @@ def transmittance_dda(
             running, it, pending = c[3], c[4], c[5]
             return jnp.any(running & ~pending) & (it < DDA_TRANSMITTANCE_MAX_STEPS)
 
-        def inner_body(c):
+        def inner_step(c):
             if with_stats:
                 t, tau, mip, running, it, pending, maj_s, steps = c
             else:
                 t, tau, mip, running, it, pending, maj_s = c
-            march = running & ~pending
+            # see sample_volume_dda.inner_step: cap guard + any(march)
+            # increment keep unrolled sub-steps bit-identical
+            march = running & ~pending & (it < DDA_TRANSMITTANCE_MAX_STEPS)
             mip_i = _round_mip(mip)
             curr = ipos + t[..., None] * idir
             majorant = _step_majorant(
@@ -447,10 +694,15 @@ def transmittance_dda(
             maj_s = jnp.where(new_pending, majorant, maj_s)
             pending = pending | new_pending
             running = running & ~esc_c & ~out_far
-            out = (t, tau, mip, running, it + 1, pending, maj_s)
+            out = (t, tau, mip, running, it + jnp.any(march).astype(jnp.int32), pending, maj_s)
             if with_stats:
                 return out + (steps + march.astype(jnp.int32),)
             return out
+
+        def inner_body(c):
+            for _ in range(inner_unroll):
+                c = inner_step(c)
+            return c
 
         inner_init = (t, tau, mip, running, it, pending, maj_s)
         if with_stats:
@@ -461,14 +713,19 @@ def transmittance_dda(
             steps = inner_out[7]
 
         # ---- phase 2: density decode + draws for parked lanes ----
-        rgba = lookup_transfer(
-            lut,
-            params.sample_range,
-            lookup_density_trilinear(grid, params, ipos + t[..., None] * idir)
-            * params.inv_maj,
-        )
-        d = params.vol_maj * rgba[..., 3]
         check = running & pending
+        if compact_phase2:
+            rgba = _compact_decode_rgba(
+                grid, params, lut, ipos + t[..., None] * idir, check
+            )
+        else:
+            rgba = lookup_transfer(
+                lut,
+                params.sample_range,
+                lookup_density_trilinear(grid, params, ipos + t[..., None] * idir)
+                * params.inv_maj,
+            )
+        d = params.vol_maj * rgba[..., 3]
         # real/null draw only on live collision iterations (dda.glsl:41-44)
         state, xi1 = rng_where(check, state)
         real = xi1 * maj_s < d
@@ -736,21 +993,52 @@ def get_mode_functions(
     mode: str,
     physical_shadows: bool = False,
     physical_majorant: bool = False,
+    compact_decode: bool | str = False,
+    dda_unroll: int = 1,
 ):
     """Mode dispatch with the optional physical-transmittance and
     physical-majorant extensions (both default-mode only — the other
-    modes use the global majorant and need neither)."""
+    modes use the global majorant and need neither). compact_decode
+    selects a compacted-collision-decode DDA variant (see
+    _compact_decode_rgba for the cost model + realization contract):
+    "loop" (or True) = the single-loop forms (sample_volume_dda_compact);
+    "phase2" = the two-phase forms with only the phase-2 decode
+    compacted; "mixed" = single-loop sample_volume + phase2-compacted
+    two-phase transmittance (the honest decomposition showed the
+    single-loop form wins the distance-sampling wavefront but loses the
+    all-active transmittance wavefront — examples/ab_chunk_sync.py).
+    Same draw protocol in all variants. dda_unroll > 1 unrolls the
+    two-phase inner march loop (bit-identical; ignored by the
+    single-loop forms)."""
     import functools
 
     sample_volume, transmittance = MODE_FUNCTIONS[mode]
     if mode == "default":
+        if compact_decode in (True, "loop"):
+            sv_base = sample_volume_dda_compact
+            tr_base = transmittance_dda_compact
+        elif compact_decode == "mixed":
+            sv_base = sample_volume_dda_compact
+            tr_base = functools.partial(transmittance_dda, compact_phase2=True)
+        elif compact_decode == "phase2":
+            sv_base = functools.partial(sample_volume_dda, compact_phase2=True)
+            tr_base = functools.partial(transmittance_dda, compact_phase2=True)
+        elif compact_decode:
+            raise ValueError(f"unknown compact_decode: {compact_decode!r}")
+        else:
+            sv_base, tr_base = sample_volume_dda, transmittance_dda
+        if dda_unroll > 1:
+            # the single-loop forms have no inner march loop to unroll
+            if compact_decode not in (True, "loop", "mixed"):
+                sv_base = functools.partial(sv_base, inner_unroll=dda_unroll)
+            if compact_decode not in (True, "loop"):
+                tr_base = functools.partial(tr_base, inner_unroll=dda_unroll)
+        sample_volume, transmittance = sv_base, tr_base
         if physical_majorant:
-            sample_volume = functools.partial(
-                sample_volume_dda, majorant_envelope=True
-            )
+            sample_volume = functools.partial(sv_base, majorant_envelope=True)
         if physical_shadows or physical_majorant:
             transmittance = functools.partial(
-                transmittance_dda,
+                tr_base,
                 physical=physical_shadows,
                 majorant_envelope=physical_majorant,
             )

@@ -106,53 +106,175 @@ class RenderConfig(NamedTuple):
     # DIFFERENT equally-valid realization of the same estimator than the
     # band order (investigation: NOTES r5; contract pinned by
     # tests/test_render.py::test_tile_chunks_same_estimator). Only
-    # engages when the frame is actually chunked (>~131k pixels).
+    # engages when the frame is actually chunked (> the chunk target).
     tile_chunks: bool = True
+    # compacted collision decode for the DDA traversal: the 9-gather
+    # trilinear+LUT decode sorts collided lanes to a prefix and runs at
+    # the narrowest sufficient width (n/8..n lax.cond ladder), so decode
+    # cost tracks the collided FRACTION instead of the wavefront width
+    # (XLA TPU gathers serialize per element — NOTES.md r5 real profile).
+    # "loop"/True = single-loop DDA decoding compactly every iteration
+    # (modes.sample_volume_dda_compact); "phase2" = keep the two-phase
+    # park-and-batch march, compact only the phase-2 decode. Same
+    # per-lane op + draw protocol in all variants; below
+    # modes.COMPACT_DECODE_MIN_LANES lanes the decode is full-width and
+    # results are bit-identical to the baseline (pinned by
+    # tests/test_render.py::test_compact_decode_bit_identical_small); at
+    # compacted widths the tile_chunks ulp contract applies (same
+    # estimator, position-dependent transcendental rounding). Default
+    # "loop": the honest sync-mode A/B measured -67.6% real frame time
+    # (2.66 vs 8.22 s at 960x540/256^3, examples/ab_compact.py, 3
+    # interleaved passes reproducible to ~1%; "phase2" alone -37%) — the
+    # two-phase park-and-wait structure, not loop dispatch, was the cost.
+    compact_decode: bool | str = "loop"
+    # unroll factor for the two-phase DDA inner march loop: >1 runs that
+    # many march steps per while_loop iteration, trading masked wasted
+    # sub-steps at round boundaries for while_loop dispatch overhead.
+    # BIT-identical for any value (the march consumes no RNG; cap guard +
+    # any(march) iteration count reproduce the rolled exits — pinned by
+    # tests/test_render.py::test_dda_unroll_bit_identical). Measured a
+    # LOSS in the honest sync-mode A/B (+3.2% at 2, +10.3% at 4 —
+    # examples/ab_compact.py: while_loop dispatch overhead is not the
+    # cost; the masked wasted sub-steps are). Default 1; kept as a knob
+    # for hardware where loop dispatch dominates. Ignored when
+    # compact_decode selects the single-loop forms.
+    dda_unroll: int = 1
+    # compact the NEE environment warp + the escape-ray env lookup/pdf to
+    # the lanes that consume them (_compact_apply ladder): the
+    # hierarchical warp is the most expensive non-traversal op (real 51
+    # ms per 131k-lane call, NOTES.md r5 profile) and runs once per
+    # bounce per chunk, while the consuming lanes (live at bounce b /
+    # escaped at bounce b) are often a small fraction. Dead-lane outputs
+    # are fills, masked by the existing valid_nee/miss guards. Same ulp
+    # realization contract as compact_decode; engages with
+    # n >= COMPACT_MIN_LANES (pinned by
+    # tests/test_render.py::test_compact_env_same_estimator). Default ON:
+    # real -15% (0.61 vs 0.72 s/sample at 960x540/256^3, 16200-lane
+    # chunks — examples/ab_env.py).
+    compact_env: bool = True
 
 
 # compact_secondary only engages at real wavefront widths: below this the
-# sort/permute/cond machinery costs more in compile time than the halved
+# sort/permute/cond machinery costs more in compile time than the narrowed
 # traversal saves (and small CPU test renders keep the plain single-path
-# program). Static gate — n is known at trace time.
-COMPACT_MIN_LANES = 16384
+# program). Static gate — n is known at trace time. 6144 = above the
+# largest bit-pinned test render (64^2), below the smallest production
+# chunk (8100); matches modes.COMPACT_DECODE_MIN_LANES.
+COMPACT_MIN_LANES = 6144
 
 
 def _compacted_secondary(fn, n_fill, valid, lane_arrays, fill_values):
-    """Run `fn(*lane_arrays_prefix, valid_prefix)` at half width when the
-    live lanes fit there; otherwise full width. Lanes are stable-sorted so
-    live ones form a prefix; outputs are scattered back to lane order.
+    """Run `fn(*lane_arrays_prefix, valid_prefix)` at the narrowest
+    sufficient width (n/8, n/4, n/2, n — runtime lax.cond ladder, same
+    shape as modes._compact_decode_rgba). Lanes are stable-sorted so live
+    ones form a prefix; outputs are scattered back to lane order. The
+    traversal loop's real cost is proportional to WIDTH (serialized
+    gathers, NOTES.md r5), and NEE shadow / post-RR extension wavefronts
+    are often far below half occupancy.
 
     fn: (*per_lane_arrays, valid) -> (state, *outputs)  — all per-lane.
-    n_fill: per-output fill for the untraversed dead half (state is
+    n_fill: per-output fill for the untraversed dead tail (state is
     passed through untouched and needs no fill).
     """
     n = valid.shape[0]
-    half = n // 2
     order = jnp.argsort(~valid, stable=True)  # live lanes first
     inv = jnp.argsort(order, stable=True)
     perm = [a[order] for a in lane_arrays]
     v_p = valid[order]
+    cnt = jnp.sum(valid)
 
-    def half_case(args):
-        arrs, v = args
-        out = fn(*[a[:half] for a in arrs], v[:half])
-        state_half, rest = out[0], out[1:]
-        state_full = jnp.concatenate([state_half, arrs[n_fill][half:]], axis=0)
-        filled = [
-            jnp.concatenate(
-                [r, jnp.broadcast_to(f, (n - half,) + r.shape[1:]).astype(r.dtype)],
-                axis=0,
-            )
-            for r, f in zip(rest, fill_values)
-        ]
-        return (state_full, *filled)
+    def narrow_case(width):
+        def f(args):
+            arrs, v = args
+            out = fn(*[a[:width] for a in arrs], v[:width])
+            state_w, rest = out[0], out[1:]
+            state_full = jnp.concatenate([state_w, arrs[n_fill][width:]], axis=0)
+            filled = [
+                jnp.concatenate(
+                    [
+                        r,
+                        jnp.broadcast_to(
+                            f, (n - width,) + r.shape[1:]
+                        ).astype(r.dtype),
+                    ],
+                    axis=0,
+                )
+                for r, f in zip(rest, fill_values)
+            ]
+            return (state_full, *filled)
+
+        return f
 
     def full_case(args):
         arrs, v = args
         return fn(*arrs, v)
 
     out = jax.lax.cond(
-        2 * jnp.sum(valid) <= n, half_case, full_case, (perm, v_p)
+        cnt * 8 <= n,
+        narrow_case(n // 8),
+        lambda a: jax.lax.cond(
+            cnt * 4 <= n,
+            narrow_case(n // 4),
+            lambda b: jax.lax.cond(
+                cnt * 2 <= n, narrow_case(n // 2), full_case, b
+            ),
+            a,
+        ),
+        (perm, v_p),
+    )
+    return tuple(o[inv] for o in out)
+
+
+def _compact_apply(fn, live, arrays, fill_values):
+    """Evaluate the per-lane `fn(*arrays)` at the narrowest sufficient
+    ladder width (n/8, n/4, n/2, n — runtime lax.cond), with `live` lanes
+    sorted to a prefix; dead-lane outputs take `fill_values`. For
+    gather-heavy per-lane ops (environment warp/pdf/lookup) whose real
+    cost is proportional to width (NOTES.md r5 serialized-gather model).
+    Outputs for dead lanes MUST be masked by the caller anyway — fills
+    only keep shapes total. Same ulp realization contract as
+    modes._compact_decode_rgba."""
+    n = live.shape[0]
+    order = jnp.argsort(~live, stable=True)
+    inv = jnp.argsort(order, stable=True)
+    perm = [a[order] for a in arrays]
+    cnt = jnp.sum(live)
+
+    def narrow_case(width):
+        def f(arrs):
+            out = fn(*[a[:width] for a in arrs])
+            outs = out if isinstance(out, tuple) else (out,)
+            return tuple(
+                jnp.concatenate(
+                    [
+                        r,
+                        jnp.broadcast_to(
+                            fv, (n - width,) + r.shape[1:]
+                        ).astype(r.dtype),
+                    ],
+                    axis=0,
+                )
+                for r, fv in zip(outs, fill_values)
+            )
+
+        return f
+
+    def full_case(arrs):
+        out = fn(*arrs)
+        return out if isinstance(out, tuple) else (out,)
+
+    out = jax.lax.cond(
+        cnt * 8 <= n,
+        narrow_case(n // 8),
+        lambda a: jax.lax.cond(
+            cnt * 4 <= n,
+            narrow_case(n // 4),
+            lambda b: jax.lax.cond(
+                cnt * 2 <= n, narrow_case(n // 2), full_case, b
+            ),
+            a,
+        ),
+        perm,
     )
     return tuple(o[inv] for o in out)
 
@@ -170,7 +292,11 @@ def trace_path(
 ):
     """fragment.frag:79-124 vectorized over the ray wavefront."""
     sample_volume, transmittance = get_mode_functions(
-        config.mode, config.physical_shadows, config.physical_majorant
+        config.mode,
+        config.physical_shadows,
+        config.physical_majorant,
+        compact_decode=config.compact_decode,
+        dda_unroll=config.dda_unroll,
     )
     n = origin.shape[0]
 
@@ -205,12 +331,22 @@ def trace_path(
 
         # escaped rays: environment contribution with MIS (fragment.frag:117-121)
         if config.show_environment:
-            le = env_radiance(direction)
+            if config.compact_env and n >= COMPACT_MIN_LANES:
+                le, pdf_esc = _compact_apply(
+                    lambda d: (
+                        env_radiance(d),
+                        pdf_environment(env, d, config.physical_pdf),
+                    ),
+                    miss,
+                    (direction,),
+                    (0.0, 0.0),
+                )
+            else:
+                le = env_radiance(direction)
+                pdf_esc = pdf_environment(env, direction, config.physical_pdf)
             mis = jnp.where(
                 n_paths > 0,
-                power_heuristic(
-                    f_p, pdf_environment(env, direction, config.physical_pdf)
-                ),
+                power_heuristic(f_p, pdf_esc),
                 1.0,
             )
             radiance = radiance + jnp.where(
@@ -230,8 +366,21 @@ def trace_path(
         # pinned by tests/test_parity_oracle.py.
         state, xi2 = rng2_where(active, state)
         if config.use_env:
-            le_nee, pdf_nee, w_i = sample_environment(env, xi2, config.physical_pdf)
+            if config.compact_env and n >= COMPACT_MIN_LANES:
+                # the warp's gathers serialize per element — run it only
+                # at the width the live lanes need
+                le_nee, pdf_nee, w_i = _compact_apply(
+                    lambda x: sample_environment(env, x, config.physical_pdf),
+                    active,
+                    (xi2,),
+                    (0.0, 0.0, 0.0),
+                )
+            else:
+                le_nee, pdf_nee, w_i = sample_environment(
+                    env, xi2, config.physical_pdf
+                )
         else:
+            # analytic light fallback: pure vector math, nothing to compact
             le_nee, pdf_nee, w_i = sample_environment_light(env, xi2, light_dir)
         valid_nee = active & (pdf_nee > 0.0)
         f_p_nee = phase_henyey_greenstein(
