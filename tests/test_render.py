@@ -450,6 +450,19 @@ def test_compact_decode_bit_identical_small(grid):
         np.testing.assert_array_equal(images["phase2"], images[False])
         np.testing.assert_array_equal(images["mixed"], images[False])
 
+    # no_dda: compact_decode compacts the per-event decode to the running
+    # lanes (modes.sample_volume_simple(compact=True)) — same fallback
+    # guarantee below the gate
+    r = _renderer(grid, size=32, bounces=2)
+    r.render_mode = "no_dda"
+    r.render_frame()
+    config, *rest = r._cached_operands
+    images = {}
+    for flag in (False, "loop"):
+        cfg = config._replace(compact_decode=flag)
+        images[flag] = np.asarray(render_sample(cfg, *rest, jnp.uint32(11)))
+    np.testing.assert_array_equal(images["loop"], images[False])
+
 
 def test_dda_unroll_bit_identical(grid):
     """RenderConfig.dda_unroll runs K march steps per two-phase inner

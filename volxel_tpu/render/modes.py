@@ -777,8 +777,14 @@ def transmittance_dda(
 
 
 def sample_volume_simple(
-    grid, params, lut, origin, direction, state, active, with_stats: bool = False
+    grid, params, lut, origin, direction, state, active,
+    with_stats: bool = False, compact: bool = False,
 ):
+    """Delta tracking (normal.glsl:36-55). compact routes the per-event
+    9-gather density decode through _compact_decode_rgba for the running
+    lanes only — delta tracking decodes EVERY event for EVERY live lane
+    (no empty-space skipping), so the decode is the whole cost and the
+    running fraction decays fast (same contract as the DDA variants)."""
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
     )
@@ -810,12 +816,15 @@ def sample_volume_simple(
         else:
             state_in, t, running, hit, rgb_out, it = carry
         state = state_in
-        rgba = lookup_transfer(
-            lut,
-            params.sample_range,
-            lookup_density_trilinear(grid, params, ipos + t[..., None] * idir)
-            * params.inv_maj,
-        )
+        pos = ipos + t[..., None] * idir
+        if compact:
+            rgba = _compact_decode_rgba(grid, params, lut, pos, running)
+        else:
+            rgba = lookup_transfer(
+                lut,
+                params.sample_range,
+                lookup_density_trilinear(grid, params, pos) * params.inv_maj,
+            )
         d = params.vol_maj * rgba[..., 3]
         p_real = d * params.inv_maj
         # classify draw on every live iteration; the advance draw only on
@@ -844,8 +853,11 @@ def sample_volume_simple(
 
 
 def transmittance_simple(
-    grid, params, lut, origin, direction, state, active, with_stats: bool = False
+    grid, params, lut, origin, direction, state, active,
+    with_stats: bool = False, compact: bool = False,
 ):
+    """Ratio-tracking transmittance (normal.glsl:8-33); compact as in
+    sample_volume_simple."""
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
     )
@@ -870,12 +882,15 @@ def transmittance_simple(
         else:
             state_in, t, running, tr, it = carry
         state = state_in
-        rgba = lookup_transfer(
-            lut,
-            params.sample_range,
-            lookup_density_trilinear(grid, params, ipos + t[..., None] * idir)
-            * params.inv_maj,
-        )
+        pos = ipos + t[..., None] * idir
+        if compact:
+            rgba = _compact_decode_rgba(grid, params, lut, pos, running)
+        else:
+            rgba = lookup_transfer(
+                lut,
+                params.sample_range,
+                lookup_density_trilinear(grid, params, pos) * params.inv_maj,
+            )
         d = params.vol_maj * rgba[..., 3]
         tr_new = jnp.where(running, tr * (1.0 - d * params.inv_maj), tr)
         # russian roulette draw only below the threshold (normal.glsl:20-26);
@@ -1013,6 +1028,12 @@ def get_mode_functions(
     import functools
 
     sample_volume, transmittance = MODE_FUNCTIONS[mode]
+    if mode == "no_dda" and compact_decode:
+        # delta/ratio tracking decode the volume EVERY event for every
+        # live lane; any truthy compact_decode compacts that decode to
+        # the running lanes (same contract as the default-mode variants)
+        sample_volume = functools.partial(sample_volume_simple, compact=True)
+        transmittance = functools.partial(transmittance_simple, compact=True)
     if mode == "default":
         if compact_decode in (True, "loop"):
             sv_base = sample_volume_dda_compact
