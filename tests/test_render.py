@@ -464,6 +464,67 @@ def test_compact_decode_bit_identical_small(grid):
     np.testing.assert_array_equal(images["loop"], images[False])
 
 
+def test_march_ladder_same_estimator(grid, monkeypatch):
+    """RenderConfig.march_ladder (in-loop shrink ladder: the march
+    while_loop exits when the running count fits the next rung, lanes
+    are stable-sorted to a prefix, the march continues narrower —
+    modes._ladder_rungs). Per-lane op + masked-draw sequences are
+    unchanged, so the same-estimator contract of compact_decode applies;
+    pin it with the gate lowered so the ladder actually engages and
+    hands off lanes at test scale. Covers the physical branches (the
+    transmittance ladder) and the capped-march freeze path implicitly."""
+    import volxel_tpu.render.modes as modes
+    from volxel_tpu.render.pathtrace import render_sample, render_sample_batch
+
+    monkeypatch.setattr(modes, "COMPACT_DECODE_MIN_LANES", 256)
+    for phys in (False, True):
+        r = _renderer(
+            grid, size=48, bounces=2,
+            physical_shadows=phys, physical_majorant=phys,
+        )
+        r.render_frame()
+        config, *rest = r._cached_operands
+        # 2+ rungs at this width — the ladder really runs
+        assert len(modes._ladder_rungs(config.width * config.height)) > 1
+        cfgs = {
+            flag: config._replace(march_ladder=flag) for flag in (False, True)
+        }
+        one = {
+            flag: np.asarray(render_sample(cfg, *rest, jnp.uint32(5)))
+            for flag, cfg in cfgs.items()
+        }
+        n = one[False].shape[0]
+        diff_pixels = int((one[True] != one[False]).any(axis=-1).sum())
+        assert diff_pixels <= max(2, n // 200), (
+            f"march_ladder(phys={phys}): {diff_pixels}/{n} pixels differ — "
+            "the ladder is no longer a pure width restructure"
+        )
+        if not phys:
+            mean = {
+                flag: np.asarray(render_sample_batch(32, cfg, *rest, jnp.uint32(0)))
+                for flag, cfg in cfgs.items()
+            }
+            np.testing.assert_allclose(mean[True], mean[False], atol=0.08)
+            assert np.abs(mean[True] - mean[False]).mean() < 2e-3
+
+    # no_dda / raymarch: the same ladder narrows the delta/ratio-tracking
+    # event loops (modes.sample_volume_simple ladder=) and the raymarch
+    # step loop (modes.sample_volume_raymarch ladder=)
+    for mode in ("no_dda", "raymarch"):
+        r = _renderer(grid, size=48, bounces=2)
+        r.render_mode = mode
+        r.render_frame()
+        config, *rest = r._cached_operands
+        one = {}
+        for flag in (False, True):
+            cfg = config._replace(march_ladder=flag)
+            one[flag] = np.asarray(render_sample(cfg, *rest, jnp.uint32(5)))
+        n = one[False].shape[0]
+        diff_pixels = int((one[True] != one[False]).any(axis=-1).sum())
+        assert diff_pixels <= max(2, n // 200), mode
+        np.testing.assert_allclose(one[True], one[False], atol=0.5)
+
+
 def test_dda_unroll_bit_identical(grid):
     """RenderConfig.dda_unroll runs K march steps per two-phase inner
     while_loop iteration. The march consumes no RNG and every update is

@@ -64,6 +64,7 @@ class Renderer:
         maj_dtype: str = "float32",
         premul_majorant: bool = True,
         compact_decode: bool | str = "loop",
+        march_ladder: bool = True,
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
@@ -85,6 +86,10 @@ class Renderer:
         # realization contract above. Default "loop": -67.6% real frame
         # time in the honest sync-mode A/B (examples/ab_compact.py).
         self.compact_decode = compact_decode
+        # in-loop shrink ladder for the single-loop marches
+        # (RenderConfig.march_ladder): narrow the whole march as lanes
+        # terminate. Same ulp realization contract as compact_decode.
+        self.march_ladder = bool(march_ladder)
         self.settings = settings or ViewerSettings()
 
         self.camera = Camera(1.0)
@@ -321,18 +326,20 @@ class Renderer:
         return max(1, round(self.width * factor)), max(1, round(self.height * factor))
 
     @staticmethod
-    def _pick_chunk_size(n: int, target: int = 16200) -> int | None:
+    def _pick_chunk_size(n: int, target: int = 129600) -> int | None:
         """Largest divisor of n at most ~target (wavefront chunking).
 
         Chunking lets coherent pixel blocks exit traversal loops at their
-        local worst case instead of the global one. Target 16200: the
-        honest sync-mode sweep (examples/ab_chunk2.py, 960x540/256^3,
-        compact_decode="loop") measured 0.72 s/sample at 16200-lane tile
-        chunks vs 0.85 at 32400, 2.75 at 129600 (the old relay-fiction
-        sweep that picked 131072 called them all "within noise"), 0.74 at
-        8100 — march cost is width x local-max-steps x serialized-gather
-        latency, so smaller coherent tiles cut the max-vs-average
-        divergence penalty until per-chunk fixed costs bite.
+        local worst case instead of the global one, and bounds worst-case
+        compile size + memory (2M-lane monolithic programs have crashed
+        the TPU worker). Target history: 16200 was the optimum when march
+        cost was width x local-max-steps (examples/ab_chunk2.py: 0.72
+        s/sample vs 2.75 at 129600); the march_ladder narrows the loop to
+        the running count, absorbing in-chunk divergence, which moves the
+        optimum up (examples/ab_ladder*.py: 0.426 at 16200, 0.378 at
+        129600, 0.352 unchunked). 129600 keeps most of the win while
+        preserving the compile/memory bound; pass chunk_size=None through
+        RenderConfig for the last ~7% on small frames.
         """
         if n <= target:
             return None
@@ -359,6 +366,7 @@ class Renderer:
             physical_pdf=bool(self.settings.physical_pdf),
             premul_majorant=self.premul_majorant,
             compact_decode=self.compact_decode,
+            march_ladder=self.march_ladder,
         )
 
     def volume_params(self) -> VolumeParams:

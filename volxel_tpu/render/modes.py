@@ -145,6 +145,16 @@ def _step_majorant(grid, params, lut, curr, mip_i, envelope: bool):
 COMPACT_DECODE_MIN_LANES = 6144
 
 
+def _ladder_rungs(n: int) -> list[int]:
+    """Static stage widths for the in-loop shrink ladder: n, n/4, n/16...
+    down to ~256 lanes (below that the while_loop's fixed per-iteration
+    cost dominates any width saving)."""
+    rungs = [n]
+    while rungs[-1] // 4 >= 256:
+        rungs.append(rungs[-1] // 4)
+    return rungs
+
+
 def _decode_rgba(grid, params, lut, pos):
     """Collision-point density decode: trilinear + transfer LUT (the
     9-gather chain of dda.glsl:81-83)."""
@@ -393,51 +403,20 @@ def sample_volume_dda(
     return state, hit, t, rgb, le_add
 
 
-def sample_volume_dda_compact(
-    grid, params, lut, origin, direction, state, active,
-    majorant_envelope: bool = False, with_stats: bool = False,
+def _sample_compact_loop(
+    grid, params, lut, ipos, idir, far, next_w, majorant_envelope, with_stats
 ):
-    """Single-loop DDA distance sampling with a COMPACTED collision decode.
-
-    Same per-lane op + RNG-draw protocol as sample_volume_dda (every draw
-    consumed exactly where dda.glsl:65-98 consumes it), structured for the
-    real TPU cost model (NOTES.md r5): serialized gathers make decode cost
-    proportional to width, and the two-phase loop's park-and-wait makes
-    every parked lane wait for the chunk's slowest marcher each round
-    (sum_k max_l steps_k >= max_l sum_k steps). Here every running lane
-    marches every iteration (iterations = the chunk's max TOTAL path
-    length) and the expensive 9-gather collision decode runs compacted to
-    the collided lanes via _compact_decode_rgba. Realization contract:
-    see _compact_decode_rgba (ulp-level, same estimator).
-    """
-    hit_box, near, far = ray_box_intersection(
-        Rays(origin, direction), params.aabb_lo, params.aabb_hi
-    )
-    ipos, idir = _to_index_space(params, origin, direction)
+    """cond/body for sample_volume_dda_compact's march while_loop at one
+    width. next_w (a narrower ladder rung) adds the shrink-ladder handoff
+    exit: leave the loop once the running count fits the next rung."""
     ri = 1.0 / idir
-
-    state, xi = rng_where(active & hit_box, state)
-    t0 = near + 1e-6
-    tau0 = -jnp.log(1.0 - xi)
-    running0 = active & hit_box & (t0 < far)
-
-    n = origin.shape[0]
-    init = (
-        state,
-        t0,
-        tau0,
-        jnp.full((n,), MIP_START, jnp.float32),
-        running0,
-        jnp.zeros((n,), jnp.bool_),  # hit
-        jnp.ones((n, 3), jnp.float32),  # rgb at collision
-        jnp.int32(0),
-    )
-    if with_stats:
-        init = init + (jnp.zeros((n,), jnp.int32),)
 
     def cond(carry):
         running, it = carry[4], carry[7]
-        return jnp.any(running) & (it < DDA_SAMPLE_MAX_STEPS)
+        ok = jnp.any(running) & (it < DDA_SAMPLE_MAX_STEPS)
+        if next_w is not None:
+            ok = ok & (jnp.sum(running) > next_w)
+        return ok
 
     def body(carry):
         if with_stats:
@@ -487,34 +466,42 @@ def sample_volume_dda_compact(
             return out + (steps + carry[4].astype(jnp.int32),)
         return out
 
-    final = jax.lax.while_loop(cond, body, init)
-    state, t, hit, rgb = final[0], final[1], final[5], final[6]
-    le_add = jnp.zeros((n, 3), jnp.float32)
-    if with_stats:
-        return state, hit, t, rgb, le_add, final[8]
-    return state, hit, t, rgb, le_add
+    return cond, body
 
 
-def transmittance_dda_compact(
-    grid,
-    params,
-    lut,
-    origin,
-    direction,
-    state,
-    active,
-    physical: bool = False,
-    majorant_envelope: bool = False,
-    with_stats: bool = False,
+def sample_volume_dda_compact(
+    grid, params, lut, origin, direction, state, active,
+    majorant_envelope: bool = False, with_stats: bool = False,
+    ladder: bool = False,
 ):
-    """Single-loop transmittance with a compacted collision decode —
-    sample_volume_dda_compact's counterpart of transmittance_dda (same
-    per-lane draw protocol as dda.glsl:21-62)."""
+    """Single-loop DDA distance sampling with a COMPACTED collision decode.
+
+    Same per-lane op + RNG-draw protocol as sample_volume_dda (every draw
+    consumed exactly where dda.glsl:65-98 consumes it), structured for the
+    real TPU cost model (NOTES.md r5): serialized gathers make decode cost
+    proportional to width, and the two-phase loop's park-and-wait makes
+    every parked lane wait for the chunk's slowest marcher each round
+    (sum_k max_l steps_k >= max_l sum_k steps). Here every running lane
+    marches every iteration (iterations = the chunk's max TOTAL path
+    length) and the expensive 9-gather collision decode runs compacted to
+    the collided lanes via _compact_decode_rgba. Realization contract:
+    see _compact_decode_rgba (ulp-level, same estimator).
+
+    ladder=True additionally narrows the WHOLE march as lanes terminate
+    (in-loop shrink ladder): the while_loop exits whenever the running
+    count fits the next rung (n/4, n/16, ... — _ladder_rungs), running
+    lanes are stable-sorted to a prefix, and the march continues at that
+    width. Camera wavefronts run ~10-18% occupied while the chunk's
+    slowest lane marches ~100 iterations (examples/steps_decay.py), and
+    serialized gathers price every iteration by WIDTH — full width pays
+    ~9x the useful gather-lane-slots. Per-lane op + draw sequences are
+    unchanged (masked draws are pure functions of lane state); engages at
+    COMPACT_DECODE_MIN_LANES with the same ulp realization contract.
+    """
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
     )
     ipos, idir = _to_index_space(params, origin, direction)
-    ri = 1.0 / idir
 
     state, xi = rng_where(active & hit_box, state)
     t0 = near + 1e-6
@@ -522,21 +509,133 @@ def transmittance_dda_compact(
     running0 = active & hit_box & (t0 < far)
 
     n = origin.shape[0]
-    init = (
-        state,
-        t0,
-        tau0,
-        jnp.full((n,), MIP_START, jnp.float32),
-        running0,
-        jnp.ones((n,), jnp.float32),  # Tr
-        jnp.int32(0),
+    rungs = _ladder_rungs(n)
+    use_ladder = (
+        ladder and not with_stats
+        and n >= COMPACT_DECODE_MIN_LANES and len(rungs) > 1
     )
-    if with_stats:
-        init = init + (jnp.zeros((n,), jnp.int32),)
+    if not use_ladder:
+        cond, body = _sample_compact_loop(
+            grid, params, lut, ipos, idir, far, None, majorant_envelope,
+            with_stats,
+        )
+        init = (
+            state,
+            t0,
+            tau0,
+            jnp.full((n,), MIP_START, jnp.float32),
+            running0,
+            jnp.zeros((n,), jnp.bool_),  # hit
+            jnp.ones((n, 3), jnp.float32),  # rgb at collision
+            jnp.int32(0),
+        )
+        if with_stats:
+            init = init + (jnp.zeros((n,), jnp.int32),)
+        final = jax.lax.while_loop(cond, body, init)
+        state, t, hit, rgb = final[0], final[1], final[5], final[6]
+        le_add = jnp.zeros((n, 3), jnp.float32)
+        if with_stats:
+            return state, hit, t, rgb, le_add, final[8]
+        return state, hit, t, rgb, le_add
+
+    # ---- in-loop shrink ladder ----
+    # Stage s runs the march at width rungs[s] until the running count
+    # fits rungs[s+1]; a lax.cond-guarded stable sort then packs running
+    # lanes to a prefix (finished lanes hand their outputs to `suffixes`)
+    # and the march continues narrower. Columns are packed into one f32
+    # matrix so each transition costs one argsort + 4 row-gathers, not 19
+    # scalar-column gathers (serialized-gather cost model).
+    idx = jnp.arange(n, dtype=jnp.int32)
+    t, tau = t0, tau0
+    mip = jnp.full((n,), MIP_START, jnp.float32)
+    running = running0
+    hit = jnp.zeros((n,), jnp.bool_)
+    rgb = jnp.ones((n, 3), jnp.float32)
+    it = jnp.int32(0)
+    ip, idr, fr = ipos, idir, far
+    suffixes: list = []  # per-transition (idx, state, t, hit, rgb)
+    any_sorted = jnp.zeros((), jnp.bool_)
+    for si, w in enumerate(rungs):
+        next_w = rungs[si + 1] if si + 1 < len(rungs) else None
+        cond, body = _sample_compact_loop(
+            grid, params, lut, ip, idr, fr, next_w, majorant_envelope, False
+        )
+        state, t, tau, mip, running, hit, rgb, it = jax.lax.while_loop(
+            cond, body, (state, t, tau, mip, running, hit, rgb, it)
+        )
+        if next_w is None:
+            break
+        live = jnp.any(running)
+        any_sorted = any_sorted | live
+        fpack = jnp.concatenate(
+            [t[:, None], tau[:, None], mip[:, None], rgb, ip, idr,
+             fr[:, None]],
+            axis=1,
+        )  # (w, 13): t, tau, mip, rgb[3], ipos[3], idir[3], far
+        bpack = jnp.stack([running, hit], axis=1)
+
+        def _sorted(_, running=running, state=state, fpack=fpack,
+                    bpack=bpack, idx=idx):
+            order = jnp.argsort(~running, stable=True)  # running first
+            return state[order], fpack[order], bpack[order], idx[order]
+
+        def _unsorted(_, state=state, fpack=fpack, bpack=bpack, idx=idx):
+            return state, fpack, bpack, idx
+
+        state, fpack, bpack, idx = jax.lax.cond(live, _sorted, _unsorted, 0)
+        # the suffix holds only finished lanes (count(running) <= next_w,
+        # or the cap exited the whole march — then their current values
+        # ARE final); record their outputs
+        suffixes.append((
+            idx[next_w:], state[next_w:], fpack[next_w:, 0],
+            bpack[next_w:, 1], fpack[next_w:, 3:6],
+        ))
+        state, idx = state[:next_w], idx[:next_w]
+        t, tau, mip = fpack[:next_w, 0], fpack[:next_w, 1], fpack[:next_w, 2]
+        rgb = fpack[:next_w, 3:6]
+        ip, idr = fpack[:next_w, 6:9], fpack[:next_w, 9:12]
+        fr = fpack[:next_w, 12]
+        running, hit = bpack[:next_w, 0], bpack[:next_w, 1]
+
+    # reassemble original lane order. Concatenating [final prefix,
+    # suffixes newest-first] makes the never-sorted layout exactly the
+    # identity permutation, so empty chunks skip the unsort gathers.
+    idx_all = jnp.concatenate([idx] + [s[0] for s in reversed(suffixes)])
+    state_all = jnp.concatenate([state] + [s[1] for s in reversed(suffixes)])
+    opack = jnp.concatenate(
+        [jnp.concatenate(
+            [t[:, None], rgb, hit[:, None].astype(jnp.float32)], axis=1)]
+        + [jnp.concatenate(
+            [s[2][:, None], s[4], s[3][:, None].astype(jnp.float32)], axis=1)
+           for s in reversed(suffixes)]
+    )  # (n, 5): t, rgb[3], hit
+
+    def _unsort(_):
+        inv = jnp.argsort(idx_all)
+        return state_all[inv], opack[inv]
+
+    def _keep(_):
+        return state_all, opack
+
+    state, opack = jax.lax.cond(any_sorted, _unsort, _keep, 0)
+    le_add = jnp.zeros((n, 3), jnp.float32)
+    return state, opack[:, 4] > 0.5, opack[:, 0], opack[:, 1:4], le_add
+
+
+def _transmittance_compact_loop(
+    grid, params, lut, ipos, idir, far, next_w, physical,
+    majorant_envelope, with_stats,
+):
+    """cond/body for transmittance_dda_compact's while_loop at one width
+    (next_w: shrink-ladder handoff exit, as in _sample_compact_loop)."""
+    ri = 1.0 / idir
 
     def cond(carry):
         running, it = carry[4], carry[6]
-        return jnp.any(running) & (it < DDA_TRANSMITTANCE_MAX_STEPS)
+        ok = jnp.any(running) & (it < DDA_TRANSMITTANCE_MAX_STEPS)
+        if next_w is not None:
+            ok = ok & (jnp.sum(running) > next_w)
+        return ok
 
     def body(carry):
         if with_stats:
@@ -596,10 +695,121 @@ def transmittance_dda_compact(
             return out + (steps + carry[4].astype(jnp.int32),)
         return out
 
-    final = jax.lax.while_loop(cond, body, init)
-    state, tr = final[0], final[5]
-    if with_stats:
-        return state, tr, final[7]
+    return cond, body
+
+
+def transmittance_dda_compact(
+    grid,
+    params,
+    lut,
+    origin,
+    direction,
+    state,
+    active,
+    physical: bool = False,
+    majorant_envelope: bool = False,
+    with_stats: bool = False,
+    ladder: bool = False,
+):
+    """Single-loop transmittance with a compacted collision decode —
+    sample_volume_dda_compact's counterpart of transmittance_dda (same
+    per-lane draw protocol as dda.glsl:21-62). ladder: the in-loop shrink
+    ladder, same mechanics + contract as sample_volume_dda_compact."""
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+
+    state, xi = rng_where(active & hit_box, state)
+    t0 = near + 1e-6
+    tau0 = -jnp.log(1.0 - xi)
+    running0 = active & hit_box & (t0 < far)
+
+    n = origin.shape[0]
+    rungs = _ladder_rungs(n)
+    use_ladder = (
+        ladder and not with_stats
+        and n >= COMPACT_DECODE_MIN_LANES and len(rungs) > 1
+    )
+    if not use_ladder:
+        cond, body = _transmittance_compact_loop(
+            grid, params, lut, ipos, idir, far, None, physical,
+            majorant_envelope, with_stats,
+        )
+        init = (
+            state,
+            t0,
+            tau0,
+            jnp.full((n,), MIP_START, jnp.float32),
+            running0,
+            jnp.ones((n,), jnp.float32),  # Tr
+            jnp.int32(0),
+        )
+        if with_stats:
+            init = init + (jnp.zeros((n,), jnp.int32),)
+        final = jax.lax.while_loop(cond, body, init)
+        state, tr = final[0], final[5]
+        if with_stats:
+            return state, tr, final[7]
+        return state, tr
+
+    # ---- in-loop shrink ladder (see sample_volume_dda_compact) ----
+    idx = jnp.arange(n, dtype=jnp.int32)
+    t, tau = t0, tau0
+    mip = jnp.full((n,), MIP_START, jnp.float32)
+    running = running0
+    tr = jnp.ones((n,), jnp.float32)
+    it = jnp.int32(0)
+    ip, idr, fr = ipos, idir, far
+    suffixes: list = []  # per-transition (idx, state, tr)
+    any_sorted = jnp.zeros((), jnp.bool_)
+    for si, w in enumerate(rungs):
+        next_w = rungs[si + 1] if si + 1 < len(rungs) else None
+        cond, body = _transmittance_compact_loop(
+            grid, params, lut, ip, idr, fr, next_w, physical,
+            majorant_envelope, False,
+        )
+        state, t, tau, mip, running, tr, it = jax.lax.while_loop(
+            cond, body, (state, t, tau, mip, running, tr, it)
+        )
+        if next_w is None:
+            break
+        live = jnp.any(running)
+        any_sorted = any_sorted | live
+        fpack = jnp.concatenate(
+            [t[:, None], tau[:, None], mip[:, None], tr[:, None], ip, idr,
+             fr[:, None]],
+            axis=1,
+        )  # (w, 11): t, tau, mip, tr, ipos[3], idir[3], far
+
+        def _sorted(_, running=running, state=state, fpack=fpack, idx=idx):
+            order = jnp.argsort(~running, stable=True)
+            return state[order], fpack[order], running[order], idx[order]
+
+        def _unsorted(_, running=running, state=state, fpack=fpack, idx=idx):
+            return state, fpack, running, idx
+
+        state, fpack, running, idx = jax.lax.cond(live, _sorted, _unsorted, 0)
+        suffixes.append((idx[next_w:], state[next_w:], fpack[next_w:, 3]))
+        state, idx = state[:next_w], idx[:next_w]
+        t, tau, mip = fpack[:next_w, 0], fpack[:next_w, 1], fpack[:next_w, 2]
+        tr = fpack[:next_w, 3]
+        ip, idr = fpack[:next_w, 4:7], fpack[:next_w, 7:10]
+        fr = fpack[:next_w, 10]
+        running = running[:next_w]
+
+    idx_all = jnp.concatenate([idx] + [s[0] for s in reversed(suffixes)])
+    state_all = jnp.concatenate([state] + [s[1] for s in reversed(suffixes)])
+    tr_all = jnp.concatenate([tr] + [s[2] for s in reversed(suffixes)])
+
+    def _unsort(_):
+        inv = jnp.argsort(idx_all)
+        return state_all[inv], tr_all[inv]
+
+    def _keep(_):
+        return state_all, tr_all
+
+    state, tr = jax.lax.cond(any_sorted, _unsort, _keep, 0)
     return state, tr
 
 
@@ -776,39 +986,18 @@ def transmittance_dda(
 # ---------------------------------------------------------------------------
 
 
-def sample_volume_simple(
-    grid, params, lut, origin, direction, state, active,
-    with_stats: bool = False, compact: bool = False,
+def _simple_sample_loop(
+    grid, params, lut, ipos, idir, far, next_w, compact, with_stats
 ):
-    """Delta tracking (normal.glsl:36-55). compact routes the per-event
-    9-gather density decode through _compact_decode_rgba for the running
-    lanes only — delta tracking decodes EVERY event for EVERY live lane
-    (no empty-space skipping), so the decode is the whole cost and the
-    running fraction decays fast (same contract as the DDA variants)."""
-    hit_box, near, far = ray_box_intersection(
-        Rays(origin, direction), params.aabb_lo, params.aabb_hi
-    )
-    ipos, idir = _to_index_space(params, origin, direction)
-
-    state, xi = rng_where(active & hit_box, state)  # normal.glsl:40
-    t0 = near - jnp.log(1.0 - xi) * params.inv_maj
-    running0 = active & hit_box & (t0 < far)
-
-    n = origin.shape[0]
-    init = (
-        state,
-        t0,
-        running0,
-        jnp.zeros((n,), jnp.bool_),
-        jnp.ones((n, 3), jnp.float32),
-        jnp.int32(0),
-    )
-    if with_stats:
-        init = init + (jnp.zeros((n,), jnp.int32),)
+    """cond/body for sample_volume_simple's event while_loop at one width
+    (next_w: shrink-ladder handoff, as in _sample_compact_loop)."""
 
     def cond(carry):
         running, it = carry[2], carry[5]
-        return jnp.any(running) & (it < TRACKING_MAX_EVENTS)
+        ok = jnp.any(running) & (it < TRACKING_MAX_EVENTS)
+        if next_w is not None:
+            ok = ok & (jnp.sum(running) > next_w)
+        return ok
 
     def body(carry):
         if with_stats:
@@ -844,37 +1033,137 @@ def sample_volume_simple(
         running = running & ~real & (t < far)
         return (state, t, running, hit, rgb_out, it + 1)
 
-    final = jax.lax.while_loop(cond, body, init)
-    state, t, hit, rgb = final[0], final[1], final[3], final[4]
-    le_add = jnp.zeros((n, 3), jnp.float32)
-    if with_stats:
-        return state, hit, t, rgb, le_add, final[6]
-    return state, hit, t, rgb, le_add
+    return cond, body
 
 
-def transmittance_simple(
+def sample_volume_simple(
     grid, params, lut, origin, direction, state, active,
-    with_stats: bool = False, compact: bool = False,
+    with_stats: bool = False, compact: bool = False, ladder: bool = False,
 ):
-    """Ratio-tracking transmittance (normal.glsl:8-33); compact as in
-    sample_volume_simple."""
+    """Delta tracking (normal.glsl:36-55). compact routes the per-event
+    9-gather density decode through _compact_decode_rgba for the running
+    lanes only — delta tracking decodes EVERY event for EVERY live lane
+    (no empty-space skipping), so the decode is the whole cost and the
+    running fraction decays fast (same contract as the DDA variants).
+    ladder: the in-loop shrink ladder, same mechanics + contract as
+    sample_volume_dda_compact (the event loop's per-iteration cost is
+    priced by WIDTH under serialized gathers)."""
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
     )
     ipos, idir = _to_index_space(params, origin, direction)
 
-    state, xi = rng_where(active & hit_box, state)  # normal.glsl:14
+    state, xi = rng_where(active & hit_box, state)  # normal.glsl:40
     t0 = near - jnp.log(1.0 - xi) * params.inv_maj
     running0 = active & hit_box & (t0 < far)
 
     n = origin.shape[0]
-    init = (state, t0, running0, jnp.ones((n,), jnp.float32), jnp.int32(0))
-    if with_stats:
-        init = init + (jnp.zeros((n,), jnp.int32),)
+    rungs = _ladder_rungs(n)
+    use_ladder = (
+        ladder and not with_stats
+        and n >= COMPACT_DECODE_MIN_LANES and len(rungs) > 1
+    )
+    if not use_ladder:
+        cond, body = _simple_sample_loop(
+            grid, params, lut, ipos, idir, far, None, compact, with_stats
+        )
+        init = (
+            state,
+            t0,
+            running0,
+            jnp.zeros((n,), jnp.bool_),
+            jnp.ones((n, 3), jnp.float32),
+            jnp.int32(0),
+        )
+        if with_stats:
+            init = init + (jnp.zeros((n,), jnp.int32),)
+        final = jax.lax.while_loop(cond, body, init)
+        state, t, hit, rgb = final[0], final[1], final[3], final[4]
+        le_add = jnp.zeros((n, 3), jnp.float32)
+        if with_stats:
+            return state, hit, t, rgb, le_add, final[6]
+        return state, hit, t, rgb, le_add
+
+    # ---- in-loop shrink ladder (see sample_volume_dda_compact) ----
+    idx = jnp.arange(n, dtype=jnp.int32)
+    t = t0
+    running = running0
+    hit = jnp.zeros((n,), jnp.bool_)
+    rgb = jnp.ones((n, 3), jnp.float32)
+    it = jnp.int32(0)
+    ip, idr, fr = ipos, idir, far
+    suffixes: list = []  # per-transition (idx, state, t, hit, rgb)
+    any_sorted = jnp.zeros((), jnp.bool_)
+    for si, w in enumerate(rungs):
+        next_w = rungs[si + 1] if si + 1 < len(rungs) else None
+        cond, body = _simple_sample_loop(
+            grid, params, lut, ip, idr, fr, next_w, compact, False
+        )
+        state, t, running, hit, rgb, it = jax.lax.while_loop(
+            cond, body, (state, t, running, hit, rgb, it)
+        )
+        if next_w is None:
+            break
+        live = jnp.any(running)
+        any_sorted = any_sorted | live
+        fpack = jnp.concatenate(
+            [t[:, None], rgb, ip, idr, fr[:, None]], axis=1,
+        )  # (w, 11): t, rgb[3], ipos[3], idir[3], far
+        bpack = jnp.stack([running, hit], axis=1)
+
+        def _sorted(_, running=running, state=state, fpack=fpack,
+                    bpack=bpack, idx=idx):
+            order = jnp.argsort(~running, stable=True)
+            return state[order], fpack[order], bpack[order], idx[order]
+
+        def _unsorted(_, state=state, fpack=fpack, bpack=bpack, idx=idx):
+            return state, fpack, bpack, idx
+
+        state, fpack, bpack, idx = jax.lax.cond(live, _sorted, _unsorted, 0)
+        suffixes.append((
+            idx[next_w:], state[next_w:], fpack[next_w:, 0],
+            bpack[next_w:, 1], fpack[next_w:, 1:4],
+        ))
+        state, idx = state[:next_w], idx[:next_w]
+        t, rgb = fpack[:next_w, 0], fpack[:next_w, 1:4]
+        ip, idr = fpack[:next_w, 4:7], fpack[:next_w, 7:10]
+        fr = fpack[:next_w, 10]
+        running, hit = bpack[:next_w, 0], bpack[:next_w, 1]
+
+    idx_all = jnp.concatenate([idx] + [s[0] for s in reversed(suffixes)])
+    state_all = jnp.concatenate([state] + [s[1] for s in reversed(suffixes)])
+    opack = jnp.concatenate(
+        [jnp.concatenate(
+            [t[:, None], rgb, hit[:, None].astype(jnp.float32)], axis=1)]
+        + [jnp.concatenate(
+            [s[2][:, None], s[4], s[3][:, None].astype(jnp.float32)], axis=1)
+           for s in reversed(suffixes)]
+    )  # (n, 5): t, rgb[3], hit
+
+    def _unsort(_):
+        inv = jnp.argsort(idx_all)
+        return state_all[inv], opack[inv]
+
+    def _keep(_):
+        return state_all, opack
+
+    state, opack = jax.lax.cond(any_sorted, _unsort, _keep, 0)
+    le_add = jnp.zeros((n, 3), jnp.float32)
+    return state, opack[:, 4] > 0.5, opack[:, 0], opack[:, 1:4], le_add
+
+
+def _simple_transmittance_loop(
+    grid, params, lut, ipos, idir, far, next_w, compact, with_stats
+):
+    """cond/body for transmittance_simple's event while_loop at one width
+    (next_w: shrink-ladder handoff)."""
 
     def cond(carry):
         running, it = carry[2], carry[4]
-        return jnp.any(running) & (it < TRACKING_MAX_EVENTS)
+        ok = jnp.any(running) & (it < TRACKING_MAX_EVENTS)
+        if next_w is not None:
+            ok = ok & (jnp.sum(running) > next_w)
+        return ok
 
     def body(carry):
         if with_stats:
@@ -912,10 +1201,95 @@ def transmittance_simple(
         running = running & ~killed & (t < far)
         return (state, t, running, tr, it + 1)
 
-    final = jax.lax.while_loop(cond, body, init)
-    state, tr = final[0], final[3]
-    if with_stats:
-        return state, tr, final[5]
+    return cond, body
+
+
+def transmittance_simple(
+    grid, params, lut, origin, direction, state, active,
+    with_stats: bool = False, compact: bool = False, ladder: bool = False,
+):
+    """Ratio-tracking transmittance (normal.glsl:8-33); compact and
+    ladder as in sample_volume_simple."""
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+
+    state, xi = rng_where(active & hit_box, state)  # normal.glsl:14
+    t0 = near - jnp.log(1.0 - xi) * params.inv_maj
+    running0 = active & hit_box & (t0 < far)
+
+    n = origin.shape[0]
+    rungs = _ladder_rungs(n)
+    use_ladder = (
+        ladder and not with_stats
+        and n >= COMPACT_DECODE_MIN_LANES and len(rungs) > 1
+    )
+    if not use_ladder:
+        cond, body = _simple_transmittance_loop(
+            grid, params, lut, ipos, idir, far, None, compact, with_stats
+        )
+        init = (state, t0, running0, jnp.ones((n,), jnp.float32), jnp.int32(0))
+        if with_stats:
+            init = init + (jnp.zeros((n,), jnp.int32),)
+        final = jax.lax.while_loop(cond, body, init)
+        state, tr = final[0], final[3]
+        if with_stats:
+            return state, tr, final[5]
+        return state, tr
+
+    # ---- in-loop shrink ladder (see sample_volume_dda_compact) ----
+    idx = jnp.arange(n, dtype=jnp.int32)
+    t = t0
+    running = running0
+    tr = jnp.ones((n,), jnp.float32)
+    it = jnp.int32(0)
+    ip, idr, fr = ipos, idir, far
+    suffixes: list = []  # per-transition (idx, state, tr)
+    any_sorted = jnp.zeros((), jnp.bool_)
+    for si, w in enumerate(rungs):
+        next_w = rungs[si + 1] if si + 1 < len(rungs) else None
+        cond, body = _simple_transmittance_loop(
+            grid, params, lut, ip, idr, fr, next_w, compact, False
+        )
+        state, t, running, tr, it = jax.lax.while_loop(
+            cond, body, (state, t, running, tr, it)
+        )
+        if next_w is None:
+            break
+        live = jnp.any(running)
+        any_sorted = any_sorted | live
+        fpack = jnp.concatenate(
+            [t[:, None], tr[:, None], ip, idr, fr[:, None]], axis=1,
+        )  # (w, 9): t, tr, ipos[3], idir[3], far
+
+        def _sorted(_, running=running, state=state, fpack=fpack, idx=idx):
+            order = jnp.argsort(~running, stable=True)
+            return state[order], fpack[order], running[order], idx[order]
+
+        def _unsorted(_, running=running, state=state, fpack=fpack, idx=idx):
+            return state, fpack, running, idx
+
+        state, fpack, running, idx = jax.lax.cond(live, _sorted, _unsorted, 0)
+        suffixes.append((idx[next_w:], state[next_w:], fpack[next_w:, 1]))
+        state, idx = state[:next_w], idx[:next_w]
+        t, tr = fpack[:next_w, 0], fpack[:next_w, 1]
+        ip, idr = fpack[:next_w, 2:5], fpack[:next_w, 5:8]
+        fr = fpack[:next_w, 8]
+        running = running[:next_w]
+
+    idx_all = jnp.concatenate([idx] + [s[0] for s in reversed(suffixes)])
+    state_all = jnp.concatenate([state] + [s[1] for s in reversed(suffixes)])
+    tr_all = jnp.concatenate([tr] + [s[2] for s in reversed(suffixes)])
+
+    def _unsort(_):
+        inv = jnp.argsort(idx_all)
+        return state_all[inv], tr_all[inv]
+
+    def _keep(_):
+        return state_all, tr_all
+
+    state, tr = jax.lax.cond(any_sorted, _unsort, _keep, 0)
     return state, tr
 
 
@@ -924,7 +1298,49 @@ def transmittance_simple(
 # ---------------------------------------------------------------------------
 
 
-def sample_volume_raymarch(grid, params, lut, origin, direction, state, active):
+def _raymarch_loop(grid, params, lut, ipos, idir, start, dt, far, tau_target,
+                   next_w):
+    """cond/body for sample_volume_raymarch's step while_loop at one width
+    (next_w: shrink-ladder handoff). The while form with an any(marching)
+    exit is draw-for-draw identical to the reference's fixed-count loop:
+    the GLSL returns on the hit step, so steps after every lane has
+    hit/missed consume nothing (raymarch.glsl:42-55)."""
+
+    def cond(carry):
+        marching, i = carry[1], carry[6]
+        ok = jnp.any(marching) & (i < RAYMARCH_STEPS)
+        if next_w is not None:
+            ok = ok & (jnp.sum(marching) > next_w)
+        return ok
+
+    def body(carry):
+        state, marching, tau, hit, t_out, rgb_out, i = carry
+        t = jnp.minimum(start + i * dt, far)
+        state, d_raw = lookup_density_stochastic(
+            grid, params, ipos + t[..., None] * idir, state, mask=marching
+        )
+        rgba = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj)
+        tau_new = tau + rgba[..., 3] * params.vol_maj * dt
+        new_hit = marching & (tau_new >= tau_target)
+        hit = hit | new_hit
+        t_out = jnp.where(new_hit, t, t_out)
+        rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
+        tau = jnp.where(marching, tau_new, tau)
+        marching = marching & ~new_hit
+        return (state, marching, tau, hit, t_out, rgb_out, i + 1)
+
+    return cond, body
+
+
+def sample_volume_raymarch(grid, params, lut, origin, direction, state, active,
+                           ladder: bool = False):
+    """Stochastic-filter fixed-step raymarch (raymarch.glsl:30-56).
+
+    ladder: the in-loop shrink ladder (see sample_volume_dda_compact) —
+    a raymarch wavefront starts at the box-hit fraction (~18% on the
+    wide benchmark framing) and shrinks as lanes reach their tau target,
+    while the reference-shaped loop pays full width all RAYMARCH_STEPS
+    iterations."""
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi
     )
@@ -939,34 +1355,95 @@ def sample_volume_raymarch(grid, params, lut, origin, direction, state, active):
     start = near + xi_j * dt
 
     n = origin.shape[0]
+    rungs = _ladder_rungs(n)
     tau = jnp.zeros((n,), jnp.float32)
     hit = jnp.zeros((n,), jnp.bool_)
     t_out = jnp.zeros((n,), jnp.float32)
     rgb_out = jnp.ones((n, 3), jnp.float32)
-
-    def body(i, carry):
-        state, tau, hit, t_out, rgb_out = carry
-        t = jnp.minimum(start + i * dt, far)
-        # the GLSL returns on the hit step, so later steps consume no
-        # stochastic-filter draws (raymarch.glsl:42-55)
-        marching = valid & ~hit
-        state, d_raw = lookup_density_stochastic(
-            grid, params, ipos + t[..., None] * idir, state, mask=marching
-        )
-        rgba = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj)
-        tau_new = tau + rgba[..., 3] * params.vol_maj * dt
-        new_hit = marching & (tau_new >= tau_target)
-        hit = hit | new_hit
-        t_out = jnp.where(new_hit, t, t_out)
-        rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
-        tau = jnp.where(marching, tau_new, tau)
-        return (state, tau, hit, t_out, rgb_out)
-
-    state, tau, hit, t_out, rgb_out = jax.lax.fori_loop(
-        0, RAYMARCH_STEPS, body, (state, tau, hit, t_out, rgb_out)
-    )
     le_add = jnp.zeros((n, 3), jnp.float32)
-    return state, hit, t_out, rgb_out, le_add
+
+    use_ladder = (
+        ladder and n >= COMPACT_DECODE_MIN_LANES and len(rungs) > 1
+    )
+    if not use_ladder:
+        cond, body = _raymarch_loop(
+            grid, params, lut, ipos, idir, start, dt, far, tau_target, None
+        )
+        final = jax.lax.while_loop(
+            cond, body,
+            (state, valid, tau, hit, t_out, rgb_out, jnp.int32(0)),
+        )
+        state, _, tau, hit, t_out, rgb_out = final[:6]
+        return state, hit, t_out, rgb_out, le_add
+
+    # ---- in-loop shrink ladder (see sample_volume_dda_compact) ----
+    idx = jnp.arange(n, dtype=jnp.int32)
+    marching = valid
+    i = jnp.int32(0)
+    ip, idr = ipos, idir
+    st_, dt_, fr, tt = start, dt, far, tau_target
+    suffixes: list = []  # per-transition (idx, state, t_out, hit, rgb)
+    any_sorted = jnp.zeros((), jnp.bool_)
+    for si, w in enumerate(rungs):
+        next_w = rungs[si + 1] if si + 1 < len(rungs) else None
+        cond, body = _raymarch_loop(
+            grid, params, lut, ip, idr, st_, dt_, fr, tt, next_w
+        )
+        state, marching, tau, hit, t_out, rgb_out, i = jax.lax.while_loop(
+            cond, body, (state, marching, tau, hit, t_out, rgb_out, i)
+        )
+        if next_w is None:
+            break
+        live = jnp.any(marching)
+        any_sorted = any_sorted | live
+        fpack = jnp.concatenate(
+            [tau[:, None], t_out[:, None], rgb_out, ip, idr, st_[:, None],
+             dt_[:, None], fr[:, None], tt[:, None]],
+            axis=1,
+        )  # (w, 15): tau, t_out, rgb[3], ipos[3], idir[3], start, dt, far, tau_target
+        bpack = jnp.stack([marching, hit], axis=1)
+
+        def _sorted(_, marching=marching, state=state, fpack=fpack,
+                    bpack=bpack, idx=idx):
+            order = jnp.argsort(~marching, stable=True)
+            return state[order], fpack[order], bpack[order], idx[order]
+
+        def _unsorted(_, state=state, fpack=fpack, bpack=bpack, idx=idx):
+            return state, fpack, bpack, idx
+
+        state, fpack, bpack, idx = jax.lax.cond(live, _sorted, _unsorted, 0)
+        suffixes.append((
+            idx[next_w:], state[next_w:], fpack[next_w:, 1],
+            bpack[next_w:, 1], fpack[next_w:, 2:5],
+        ))
+        state, idx = state[:next_w], idx[:next_w]
+        tau, t_out = fpack[:next_w, 0], fpack[:next_w, 1]
+        rgb_out = fpack[:next_w, 2:5]
+        ip, idr = fpack[:next_w, 5:8], fpack[:next_w, 8:11]
+        st_, dt_ = fpack[:next_w, 11], fpack[:next_w, 12]
+        fr, tt = fpack[:next_w, 13], fpack[:next_w, 14]
+        marching, hit = bpack[:next_w, 0], bpack[:next_w, 1]
+
+    idx_all = jnp.concatenate([idx] + [s[0] for s in reversed(suffixes)])
+    state_all = jnp.concatenate([state] + [s[1] for s in reversed(suffixes)])
+    opack = jnp.concatenate(
+        [jnp.concatenate(
+            [t_out[:, None], rgb_out, hit[:, None].astype(jnp.float32)],
+            axis=1)]
+        + [jnp.concatenate(
+            [s[2][:, None], s[4], s[3][:, None].astype(jnp.float32)], axis=1)
+           for s in reversed(suffixes)]
+    )  # (n, 5): t_out, rgb[3], hit
+
+    def _unsort(_):
+        inv = jnp.argsort(idx_all)
+        return state_all[inv], opack[inv]
+
+    def _keep(_):
+        return state_all, opack
+
+    state, opack = jax.lax.cond(any_sorted, _unsort, _keep, 0)
+    return state, opack[:, 4] > 0.5, opack[:, 0], opack[:, 1:4], le_add
 
 
 def transmittance_raymarch(grid, params, lut, origin, direction, state, active):
@@ -1010,6 +1487,7 @@ def get_mode_functions(
     physical_majorant: bool = False,
     compact_decode: bool | str = False,
     dda_unroll: int = 1,
+    march_ladder: bool = False,
 ):
     """Mode dispatch with the optional physical-transmittance and
     physical-majorant extensions (both default-mode only — the other
@@ -1024,16 +1502,31 @@ def get_mode_functions(
     all-active transmittance wavefront — examples/ab_chunk_sync.py).
     Same draw protocol in all variants. dda_unroll > 1 unrolls the
     two-phase inner march loop (bit-identical; ignored by the
-    single-loop forms)."""
+    single-loop forms). march_ladder enables the in-loop shrink ladder
+    on the single-loop forms (see sample_volume_dda_compact)."""
     import functools
 
     sample_volume, transmittance = MODE_FUNCTIONS[mode]
-    if mode == "no_dda" and compact_decode:
+    if mode == "raymarch" and march_ladder:
+        # the raymarch wavefront starts at the box-hit fraction and
+        # shrinks as lanes reach their tau target; the ladder narrows the
+        # fixed-step loop accordingly (transmittance_raymarch keeps its
+        # constant-width loop — its entry width is already compacted by
+        # the caller's compact_secondary ladder)
+        sample_volume = functools.partial(sample_volume_raymarch, ladder=True)
+    if mode == "no_dda" and (compact_decode or march_ladder):
         # delta/ratio tracking decode the volume EVERY event for every
         # live lane; any truthy compact_decode compacts that decode to
-        # the running lanes (same contract as the default-mode variants)
-        sample_volume = functools.partial(sample_volume_simple, compact=True)
-        transmittance = functools.partial(transmittance_simple, compact=True)
+        # the running lanes (same contract as the default-mode variants).
+        # march_ladder narrows the whole event loop as lanes terminate.
+        sample_volume = functools.partial(
+            sample_volume_simple, compact=bool(compact_decode),
+            ladder=march_ladder,
+        )
+        transmittance = functools.partial(
+            transmittance_simple, compact=bool(compact_decode),
+            ladder=march_ladder,
+        )
     if mode == "default":
         if compact_decode in (True, "loop"):
             sv_base = sample_volume_dda_compact
@@ -1054,6 +1547,12 @@ def get_mode_functions(
                 sv_base = functools.partial(sv_base, inner_unroll=dda_unroll)
             if compact_decode not in (True, "loop"):
                 tr_base = functools.partial(tr_base, inner_unroll=dda_unroll)
+        if march_ladder:
+            # the shrink ladder exists on the single-loop forms only
+            if compact_decode in (True, "loop", "mixed"):
+                sv_base = functools.partial(sv_base, ladder=True)
+            if compact_decode in (True, "loop"):
+                tr_base = functools.partial(tr_base, ladder=True)
         sample_volume, transmittance = sv_base, tr_base
         if physical_majorant:
             sample_volume = functools.partial(sv_base, majorant_envelope=True)

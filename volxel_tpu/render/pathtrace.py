@@ -139,6 +139,21 @@ class RenderConfig(NamedTuple):
     # for hardware where loop dispatch dominates. Ignored when
     # compact_decode selects the single-loop forms.
     dda_unroll: int = 1
+    # in-loop shrink ladder for the single-loop marches: the while_loop
+    # exits whenever the running count fits the next rung (n/4, n/16...),
+    # running lanes are stable-sorted to a prefix, and the march
+    # continues at that width (modes.sample_volume_dda_compact ladder=).
+    # Serialized gathers price every march iteration by WIDTH, and camera
+    # wavefronts run ~10-18% occupied while the chunk's slowest lane
+    # marches ~100 iterations (examples/steps_decay.py: width x max_steps
+    # is ~9x sum(steps)). Same engagement gate + ulp realization contract
+    # as compact_decode; no-op unless compact_decode selects the
+    # single-loop forms (default mode) / the mode is no_dda. Default ON:
+    # honest sync-mode A/B measured -31% at 16200-lane chunks and -37.5%
+    # at 129600 (0.618 -> 0.386 s/sample, 960x540/256^3,
+    # examples/ab_ladder.py) — the ladder absorbs in-chunk divergence, so
+    # the chunk-size optimum moves up (see Renderer._pick_chunk_size).
+    march_ladder: bool = True
     # compact the NEE environment warp + the escape-ray env lookup/pdf to
     # the lanes that consume them (_compact_apply ladder): the
     # hierarchical warp is the most expensive non-traversal op (real 51
@@ -297,6 +312,7 @@ def trace_path(
         config.physical_majorant,
         compact_decode=config.compact_decode,
         dda_unroll=config.dda_unroll,
+        march_ladder=config.march_ladder,
     )
     n = origin.shape[0]
 

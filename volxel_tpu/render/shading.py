@@ -42,7 +42,9 @@ def density_gradient(grid, params, ipos):
 def trace_shaded(config, grid, params, lut, env, light_dir, origin, direction, state):
     """One-hit gradient Blinn-Phong shading with a traced shadow ray."""
     sample_volume, transmittance = get_mode_functions(
-        config.mode, getattr(config, 'physical_shadows', False)
+        config.mode, getattr(config, 'physical_shadows', False),
+        compact_decode=getattr(config, 'compact_decode', False),
+        march_ladder=getattr(config, 'march_ladder', False),
     )
     n = origin.shape[0]
     active = jnp.ones((n,), jnp.bool_)
