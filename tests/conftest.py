@@ -24,3 +24,24 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    A single-process run of the full suite accumulates hundreds of live
+    XLA:CPU executables; on this jaxlib that intermittently crashes the
+    process (SIGSEGV/SIGABRT inside backend compile or executable
+    serialization) somewhere in the compile-heaviest stretch, while the
+    same tests pass when the module runs alone. Bounding accumulation at
+    the module boundary keeps the suite at the solo-run profile; the
+    recompile cost is small because cross-module executable reuse is
+    rare (fixtures and render configs are module-local)."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -24,17 +24,51 @@ import os as _os
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: render-config compiles cost
     10-30 s on TPU; caching them makes every process after the first
-    start instantly. Opt out with VOLXEL_TPU_NO_COMPILE_CACHE=1."""
+    start instantly. Opt out with VOLXEL_TPU_NO_COMPILE_CACHE=1.
+
+    The cache directory is keyed by a host-CPU fingerprint: JAX's cache
+    key does NOT cover the host's CPU features, so XLA:CPU executables
+    AOT-compiled on one machine deserialize on another (cpu_aot_loader
+    logs the feature mismatch and warns of SIGILL) — observed as
+    intermittent segfaults in CPU test runs when the VM image carried a
+    previous host's cache. TPU entries are unaffected but live under the
+    same tag (a new host starts a fresh cache either way).
+
+    The cache is not enabled at all when JAX runs on CPU: this jaxlib's
+    XLA:CPU executable (de)serialization is unreliable for large
+    programs (observed: SIGSEGV deserializing cross-machine entries and
+    SIGABRT inside put_executable_and_time serializing fresh ones during
+    the test suite), and CPU compiles are cheap enough that the cache
+    only ever paid for itself on the TPU side."""
     if _os.environ.get("VOLXEL_TPU_NO_COMPILE_CACHE"):
         return
+    if "cpu" in (_os.environ.get("JAX_PLATFORMS") or "").lower():
+        return
     try:
+        import hashlib as _hashlib
+        import platform as _plat
+
         import jax
 
+        flags = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        flags = line
+                        break
+        except OSError:
+            pass
+        tag = (
+            f"{_plat.machine()}-"
+            f"{_hashlib.sha256(flags.encode()).hexdigest()[:12]}"
+        )
         path = _os.environ.get(
             "VOLXEL_TPU_COMPILE_CACHE",
             _os.path.join(
                 _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
                 "volxel_tpu_xla",
+                tag,
             ),
         )
         _os.makedirs(path, exist_ok=True)
