@@ -208,6 +208,32 @@ def _steps_only(
 
 
 def main() -> None:
+    """Guarded entry: even a failure BEFORE any timing (e.g. the TPU
+    tunnel refusing the backend handshake — observed as
+    'UNAVAILABLE: TPU backend setup/compile error' at jax.devices())
+    still prints the required JSON line, with the failure in an "error"
+    field and a nonzero exit marking the round red with an explanation
+    instead of a bare traceback."""
+    try:
+        _main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — the JSON line survives anything
+        print(
+            json.dumps(
+                {
+                    "metric": "ms/frame (bench failed before timing)",
+                    "value": 0,
+                    "unit": "ms",
+                    "vs_baseline": 0,
+                    "error": _err(e),
+                }
+            )
+        )
+        sys.exit(1)
+
+
+def _main() -> None:
     t_setup = time.time()
     from volxel_tpu.utils.fixtures import synthetic_ct_volume
 

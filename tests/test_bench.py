@@ -173,6 +173,26 @@ def test_bench_sync_switch_failure_degrades(monkeypatch, capsys):
     assert isinstance(payload["value"], float)
 
 
+def test_bench_setup_failure_still_prints(monkeypatch, capsys):
+    """A failure BEFORE any timing (e.g. the TPU tunnel refusing the
+    backend handshake at jax.devices()) still prints the required JSON
+    line with an error field and exits nonzero — not a bare traceback."""
+    bench = _load_bench()
+
+    def dead(*a, **k):
+        raise RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+
+    monkeypatch.setattr(bench, "_build_benchmark_renderer", dead)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "16", "64", "36"])
+    with pytest.raises(SystemExit):
+        bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in payload
+    assert "UNAVAILABLE" in payload["error"]
+
+
 def test_bench_total_failure_still_prints(monkeypatch, capsys):
     """Even with every mode dead, a parseable JSON record prints (and the
     nonzero exit marks the round red with an explanation, not a traceback)."""
