@@ -565,8 +565,12 @@ def sample_volume_dda_compact(
         )
         if next_w is None:
             break
-        live = jnp.any(running)
-        any_sorted = any_sorted | live
+        # sort only when a running lane lies OUTSIDE the kept prefix —
+        # after a previous sort (or a lucky layout) survivors are often
+        # already packed, and the argsort + permute gathers can be
+        # skipped entirely (the slice alone is the transition)
+        needs_sort = jnp.any(running[next_w:])
+        any_sorted = any_sorted | needs_sort
         fpack = jnp.concatenate(
             [t[:, None], tau[:, None], mip[:, None], rgb, ip, idr,
              fr[:, None]],
@@ -582,7 +586,7 @@ def sample_volume_dda_compact(
         def _unsorted(_, state=state, fpack=fpack, bpack=bpack, idx=idx):
             return state, fpack, bpack, idx
 
-        state, fpack, bpack, idx = jax.lax.cond(live, _sorted, _unsorted, 0)
+        state, fpack, bpack, idx = jax.lax.cond(needs_sort, _sorted, _unsorted, 0)
         # the suffix holds only finished lanes (count(running) <= next_w,
         # or the cap exited the whole march — then their current values
         # ARE final); record their outputs
@@ -774,8 +778,12 @@ def transmittance_dda_compact(
         )
         if next_w is None:
             break
-        live = jnp.any(running)
-        any_sorted = any_sorted | live
+        # sort only when a running lane lies OUTSIDE the kept prefix —
+        # after a previous sort (or a lucky layout) survivors are often
+        # already packed, and the argsort + permute gathers can be
+        # skipped entirely (the slice alone is the transition)
+        needs_sort = jnp.any(running[next_w:])
+        any_sorted = any_sorted | needs_sort
         fpack = jnp.concatenate(
             [t[:, None], tau[:, None], mip[:, None], tr[:, None], ip, idr,
              fr[:, None]],
@@ -789,7 +797,7 @@ def transmittance_dda_compact(
         def _unsorted(_, running=running, state=state, fpack=fpack, idx=idx):
             return state, fpack, running, idx
 
-        state, fpack, running, idx = jax.lax.cond(live, _sorted, _unsorted, 0)
+        state, fpack, running, idx = jax.lax.cond(needs_sort, _sorted, _unsorted, 0)
         suffixes.append((idx[next_w:], state[next_w:], fpack[next_w:, 3]))
         state, idx = state[:next_w], idx[:next_w]
         t, tau, mip = fpack[:next_w, 0], fpack[:next_w, 1], fpack[:next_w, 2]
@@ -1104,8 +1112,12 @@ def sample_volume_simple(
         )
         if next_w is None:
             break
-        live = jnp.any(running)
-        any_sorted = any_sorted | live
+        # sort only when a running lane lies OUTSIDE the kept prefix —
+        # after a previous sort (or a lucky layout) survivors are often
+        # already packed, and the argsort + permute gathers can be
+        # skipped entirely (the slice alone is the transition)
+        needs_sort = jnp.any(running[next_w:])
+        any_sorted = any_sorted | needs_sort
         fpack = jnp.concatenate(
             [t[:, None], rgb, ip, idr, fr[:, None]], axis=1,
         )  # (w, 11): t, rgb[3], ipos[3], idir[3], far
@@ -1119,7 +1131,7 @@ def sample_volume_simple(
         def _unsorted(_, state=state, fpack=fpack, bpack=bpack, idx=idx):
             return state, fpack, bpack, idx
 
-        state, fpack, bpack, idx = jax.lax.cond(live, _sorted, _unsorted, 0)
+        state, fpack, bpack, idx = jax.lax.cond(needs_sort, _sorted, _unsorted, 0)
         suffixes.append((
             idx[next_w:], state[next_w:], fpack[next_w:, 0],
             bpack[next_w:, 1], fpack[next_w:, 1:4],
@@ -1257,8 +1269,12 @@ def transmittance_simple(
         )
         if next_w is None:
             break
-        live = jnp.any(running)
-        any_sorted = any_sorted | live
+        # sort only when a running lane lies OUTSIDE the kept prefix —
+        # after a previous sort (or a lucky layout) survivors are often
+        # already packed, and the argsort + permute gathers can be
+        # skipped entirely (the slice alone is the transition)
+        needs_sort = jnp.any(running[next_w:])
+        any_sorted = any_sorted | needs_sort
         fpack = jnp.concatenate(
             [t[:, None], tr[:, None], ip, idr, fr[:, None]], axis=1,
         )  # (w, 9): t, tr, ipos[3], idir[3], far
@@ -1270,7 +1286,7 @@ def transmittance_simple(
         def _unsorted(_, running=running, state=state, fpack=fpack, idx=idx):
             return state, fpack, running, idx
 
-        state, fpack, running, idx = jax.lax.cond(live, _sorted, _unsorted, 0)
+        state, fpack, running, idx = jax.lax.cond(needs_sort, _sorted, _unsorted, 0)
         suffixes.append((idx[next_w:], state[next_w:], fpack[next_w:, 1]))
         state, idx = state[:next_w], idx[:next_w]
         t, tr = fpack[:next_w, 0], fpack[:next_w, 1]
@@ -1394,8 +1410,12 @@ def sample_volume_raymarch(grid, params, lut, origin, direction, state, active,
         )
         if next_w is None:
             break
-        live = jnp.any(marching)
-        any_sorted = any_sorted | live
+        # sort only when a running lane lies OUTSIDE the kept prefix —
+        # after a previous sort (or a lucky layout) survivors are often
+        # already packed, and the argsort + permute gathers can be
+        # skipped entirely (the slice alone is the transition)
+        needs_sort = jnp.any(marching[next_w:])
+        any_sorted = any_sorted | needs_sort
         fpack = jnp.concatenate(
             [tau[:, None], t_out[:, None], rgb_out, ip, idr, st_[:, None],
              dt_[:, None], fr[:, None], tt[:, None]],
@@ -1411,7 +1431,7 @@ def sample_volume_raymarch(grid, params, lut, origin, direction, state, active,
         def _unsorted(_, state=state, fpack=fpack, bpack=bpack, idx=idx):
             return state, fpack, bpack, idx
 
-        state, fpack, bpack, idx = jax.lax.cond(live, _sorted, _unsorted, 0)
+        state, fpack, bpack, idx = jax.lax.cond(needs_sort, _sorted, _unsorted, 0)
         suffixes.append((
             idx[next_w:], state[next_w:], fpack[next_w:, 1],
             bpack[next_w:, 1], fpack[next_w:, 2:5],
