@@ -35,8 +35,20 @@ def main() -> None:
     from volxel_tpu.render.rays import camera_rays
     from volxel_tpu.render.rng import rng2, seed_rays
 
+    import sys
+
     w, h, size = 960, 540, 256
     r, _ = _build_renderer(size, width=w, height=h)
+    if "--filled" in sys.argv:
+        # the volume-filling 3x-density protocol (bench._frame_filled)
+        from volxel_tpu.scene.camera import Camera
+
+        r.camera = Camera(1.0)
+        r.camera.rotate_around_view(0.6, 0.4)
+        r.camera.zoom(0.8)
+        r.settings.density_multiplier = 3.0
+        r.restart_rendering()
+        print("framing: FILLED (97.5% AABB coverage, 3x density)", flush=True)
     r.render_frame()
     ops = list(r._cached_operands)
     config = ops[0]
