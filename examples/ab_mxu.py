@@ -1,0 +1,97 @@
+"""Honest sync-mode A/B: MXU one-hot gathers + warp decision tables.
+
+Arms (benchmark scene, defaults otherwise — compact_decode="loop",
+march_ladder, tile chunks, premul):
+
+  base      : r7 ship — XLA serial gathers, no warp tables
+  tables    : warp d/e tables (2 serial gathers/level instead of 4)
+  mxu       : tables + MXU one-hot gather for the march majorant fetch,
+              the warp tables, and the envmap bilinear (the shipped
+              "auto" TPU path)
+  mxu-march : MXU majorant fetch only (tables off) — attribution
+
+All arms are bit-identical by construction (tests/test_mxu_gather.py,
+tests/test_scene.py warp/envmap pins). Protocol: NOTES.md ROUND-5
+DISCOVERY — fetch first, then per-program walls.
+
+Usage: python examples/ab_mxu.py [size [width height]]
+"""
+
+from __future__ import annotations
+
+import os
+import sys as _sys
+import time
+
+import numpy as np
+
+_sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ab_atlas import _build_renderer  # noqa: E402
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    size = int(_sys.argv[1]) if len(_sys.argv) > 1 else 256
+    width = int(_sys.argv[2]) if len(_sys.argv) > 2 else 960
+    height = int(_sys.argv[3]) if len(_sys.argv) > 3 else 540
+
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
+
+    trivial(jnp.float32(1.0)).block_until_ready()
+    t0 = time.perf_counter()
+    float(np.asarray(trivial(jnp.float32(41.0))))
+    print(f"fetch (sync-mode switch): {time.perf_counter() - t0:.1f} s", flush=True)
+
+    from volxel_tpu.render.pathtrace import render_sample
+    from volxel_tpu.scene.environment import EnvState
+
+    r, _ = _build_renderer(size, width=width, height=height)
+    r.render_frame()
+    ops = list(r._cached_operands)
+    config = ops[0]
+    env_i = next(i for i, o in enumerate(ops) if isinstance(o, EnvState))
+    env = ops[env_i]
+    env_bare = env._replace(warp_d=None, warp_e=None)
+
+    arms = {
+        "base": (config._replace(mxu_gather=False), env_bare),
+        "tables": (config._replace(mxu_gather=False), env),
+        "mxu": (config._replace(mxu_gather=True), env),
+        "mxu-march": (config._replace(mxu_gather=True), env_bare),
+    }
+
+    def run(cfg, e, fi):
+        o = list(ops)
+        o[0] = cfg
+        o[env_i] = e
+        return render_sample(*o, jnp.uint32(fi))
+
+    print("== compiling all arms (excluded from timing)", flush=True)
+    for tag, (cfg, e) in arms.items():
+        t0 = time.perf_counter()
+        run(cfg, e, 77).block_until_ready()
+        print(f"  {tag}: first run {time.perf_counter() - t0:.1f} s", flush=True)
+
+    times: dict[str, list[float]] = {t: [] for t in arms}
+    for p in range(3):
+        print(f"== pass {p}", flush=True)
+        for tag, (cfg, e) in arms.items():
+            t0 = time.perf_counter()
+            run(cfg, e, 100 + p).block_until_ready()
+            dt = time.perf_counter() - t0
+            times[tag].append(dt)
+            print(f"  {tag}: {dt:.3f} s", flush=True)
+
+    print("== medians", flush=True)
+    base = float(np.median(times["base"]))
+    for tag, xs in times.items():
+        m = float(np.median(xs))
+        print(f"  {tag}: {m:.3f} s/sample ({(m / base - 1) * 100:+.1f}%)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

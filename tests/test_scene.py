@@ -202,3 +202,70 @@ def test_physical_pdf_renders(tmp_path):
         imgs[phys] = np.asarray(r.render_frame())
     assert np.isfinite(imgs[False]).all() and np.isfinite(imgs[True]).all()
     assert not np.allclose(imgs[False], imgs[True])
+
+
+def test_warp_tables_bit_identical():
+    """EnvState.warp_d/warp_e replace the descent's 4 per-level taps with
+    2 precomputed-decision fetches; d/e replay the inline f32 op chain per
+    texel, so outputs must be BIT-identical to the table-free descent —
+    for both pdf conventions, on a non-trivial map."""
+    img = np.random.default_rng(5).uniform(0.0, 4.0, (64, 128, 3)).astype(np.float32)
+    img[5:9, 40:70] = 80.0
+    state = build_env_state(img)
+    assert state.warp_d is not None and len(state.warp_d) == 9
+    bare = state._replace(warp_d=None, warp_e=None)
+    rnd = jnp.asarray(
+        np.random.default_rng(6).uniform(0, 1, (4096, 2)).astype(np.float32)
+    )
+    for physical in (False, True):
+        # _sample_env (unjitted): the module-level jit wrapper would trace
+        # `physical`, which gates python-level branches
+        got = _sample_env(state, rnd, physical)
+        want = _sample_env(bare, rnd, physical)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(
+                np.asarray(g).view(np.uint32), np.asarray(w).view(np.uint32)
+            )
+
+
+def test_warp_tables_mxu_bit_identical():
+    """The MXU byte-plane packing of the warp tables (attached on TPU by
+    render_pixels) returns bit-equal d/e values — pinned here through the
+    full sampler with the Pallas kernel interpreted on CPU."""
+    from volxel_tpu.scene.environment import pack_warp_tables
+
+    img = np.random.default_rng(7).uniform(0.0, 2.0, (32, 64, 3)).astype(np.float32)
+    state = build_env_state(img)
+    d_mxu, e_mxu = pack_warp_tables(state.warp_d, state.warp_e)
+    packed = state._replace(warp_d_mxu=d_mxu, warp_e_mxu=e_mxu)
+    rnd = jnp.asarray(
+        np.random.default_rng(8).uniform(0, 1, (1024, 2)).astype(np.float32)
+    )
+    got = _sample_env(packed, rnd)
+    want = _sample_env(state, rnd)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(
+            np.asarray(g).view(np.uint32), np.asarray(w).view(np.uint32)
+        )
+
+
+def test_envmap_mxu_bilinear_bit_identical():
+    """lookup_environment through the MXU envmap packing (attached on TPU
+    by render_pixels for VMEM-small maps) is bit-identical — incl. the
+    pole-clamp taps the oracle once caught."""
+    from volxel_tpu.render.mxu_gather import pack_gather_table
+
+    img = np.random.default_rng(9).uniform(0.0, 5.0, (16, 32, 3)).astype(np.float32)
+    state = build_env_state(img)
+    packed = state._replace(envmap_mxu=pack_gather_table(state.envmap.reshape(-1)))
+    rng = np.random.default_rng(10)
+    d = rng.normal(size=(2048, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d[:8] = [[0, 1, 0], [0, -1, 0], [1, 0, 0], [-1, 0, 0],
+             [0, 0.9999999, 0.0001], [0, -0.9999999, 0.0001],
+             [0.0001, 0.99999, 0], [0, 0, 1]]  # poles + seam
+    got = _lookup_env(packed, jnp.asarray(d))
+    want = _lookup_env(state, jnp.asarray(d))
+    np.testing.assert_array_equal(
+        np.asarray(got).view(np.uint32), np.asarray(want).view(np.uint32)
+    )

@@ -65,6 +65,7 @@ class Renderer:
         premul_majorant: bool = True,
         compact_decode: bool | str = "loop",
         march_ladder: bool = True,
+        mxu_gather: bool | str = "auto",
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
@@ -90,6 +91,10 @@ class Renderer:
         # (RenderConfig.march_ladder): narrow the whole march as lanes
         # terminate. Same ulp realization contract as compact_decode.
         self.march_ladder = bool(march_ladder)
+        # one-hot MXU matmul for the march's majorant fetch
+        # (RenderConfig.mxu_gather). Bit-identical values; "auto" = TPU
+        # backend only.
+        self.mxu_gather = mxu_gather
         self.settings = settings or ViewerSettings()
 
         self.camera = Camera(1.0)
@@ -367,7 +372,22 @@ class Renderer:
             premul_majorant=self.premul_majorant,
             compact_decode=self.compact_decode,
             march_ladder=self.march_ladder,
+            mxu_gather=self._resolve_mxu_gather(),
         )
+
+    def _resolve_mxu_gather(self) -> bool:
+        """Resolve mxu_gather="auto" to a concrete bool: TPU backend AND
+        the kernel probe passes (a Mosaic lowering gap must degrade to
+        the XLA gather, not fail every render)."""
+        if self.mxu_gather != "auto":
+            return bool(self.mxu_gather)
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+        from volxel_tpu.render.mxu_gather import mxu_gather_supported
+
+        return mxu_gather_supported()
 
     def volume_params(self) -> VolumeParams:
         """bindUniforms volume block (viewer.ts:1324-1345)."""

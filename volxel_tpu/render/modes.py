@@ -162,6 +162,7 @@ def _decode_rgba(grid, params, lut, pos):
         lut,
         params.sample_range,
         lookup_density_trilinear(grid, params, pos) * params.inv_maj,
+        mxu=getattr(grid, "lut_mxu", None),
     )
 
 
@@ -373,6 +374,7 @@ def sample_volume_dda(
                 params.sample_range,
                 lookup_density_trilinear(grid, params, ipos + t[..., None] * idir)
                 * params.inv_maj,
+                mxu=getattr(grid, "lut_mxu", None),
             )
         d = params.vol_maj * rgba[..., 3]
         # GLSL draw protocol (dda.glsl:81-96): the real/null draw happens
@@ -942,6 +944,7 @@ def transmittance_dda(
                 params.sample_range,
                 lookup_density_trilinear(grid, params, ipos + t[..., None] * idir)
                 * params.inv_maj,
+                mxu=getattr(grid, "lut_mxu", None),
             )
         d = params.vol_maj * rgba[..., 3]
         # real/null draw only on live collision iterations (dda.glsl:41-44)
@@ -1021,6 +1024,7 @@ def _simple_sample_loop(
                 lut,
                 params.sample_range,
                 lookup_density_trilinear(grid, params, pos) * params.inv_maj,
+                mxu=getattr(grid, "lut_mxu", None),
             )
         d = params.vol_maj * rgba[..., 3]
         p_real = d * params.inv_maj
@@ -1191,6 +1195,7 @@ def _simple_transmittance_loop(
                 lut,
                 params.sample_range,
                 lookup_density_trilinear(grid, params, pos) * params.inv_maj,
+                mxu=getattr(grid, "lut_mxu", None),
             )
         d = params.vol_maj * rgba[..., 3]
         tr_new = jnp.where(running, tr * (1.0 - d * params.inv_maj), tr)
@@ -1335,7 +1340,8 @@ def _raymarch_loop(grid, params, lut, ipos, idir, start, dt, far, tau_target,
         state, d_raw = lookup_density_stochastic(
             grid, params, ipos + t[..., None] * idir, state, mask=marching
         )
-        rgba = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj)
+        rgba = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj,
+                               mxu=getattr(grid, "lut_mxu", None))
         tau_new = tau + rgba[..., 3] * params.vol_maj * dt
         new_hit = marching & (tau_new >= tau_target)
         hit = hit | new_hit
@@ -1486,7 +1492,8 @@ def transmittance_raymarch(grid, params, lut, origin, direction, state, active):
         state, d_raw = lookup_density_stochastic(
             grid, params, ipos + t[..., None] * idir, state, mask=valid
         )
-        alpha = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj)[..., 3]
+        alpha = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj,
+                                mxu=getattr(grid, "lut_mxu", None))[..., 3]
         tau = tau + jnp.where(valid, alpha * params.vol_maj * dt, 0.0)
         return (state, tau)
 

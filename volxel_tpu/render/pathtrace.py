@@ -167,6 +167,38 @@ class RenderConfig(NamedTuple):
     # real -15% (0.61 vs 0.72 s/sample at 960x540/256^3, 16200-lane
     # chunks — examples/ab_env.py).
     compact_env: bool = True
+    # run the DDA march's per-step majorant fetch as a one-hot MXU
+    # matmul over the compact premul pyramid (render.mxu_gather) instead
+    # of XLA's serialized per-lane gather. Gathered values are BIT-EXACT
+    # (byte-plane decomposition — see mxu_gather module docstring), so
+    # renders are bit-identical either way. "auto" engages on the TPU
+    # backend when premul_majorant is on and the compact pyramid fits
+    # the MXU budget; True forces it (CPU runs the kernel interpreted —
+    # tests only); False disables.
+    mxu_gather: bool | str = "auto"
+
+
+def _mxu_on(config) -> bool:
+    """Static (trace-time) backend gate for the MXU gather paths."""
+    import jax as _jax
+
+    if config.mxu_gather is False:
+        return False
+    return config.mxu_gather is True or _jax.default_backend() == "tpu"
+
+
+def _mxu_gather_engaged(config, grid) -> bool:
+    """Static (trace-time) decision for the MXU majorant fetch."""
+    from volxel_tpu.render.mxu_gather import MXU_GATHER_MAX_TABLE
+    from volxel_tpu.render.sampling import _compact_pyramid_dims
+
+    if not _mxu_on(config) or not config.premul_majorant:
+        return False
+    if getattr(grid, "maj_mips", None) is None:
+        return False
+    dims, offsets = _compact_pyramid_dims(grid.maj_mips.shape)
+    total = offsets[-1] + dims[-1][0] * dims[-1][1] * dims[-1][2]
+    return total <= MXU_GATHER_MAX_TABLE
 
 
 # compact_secondary only engages at real wavefront widths: below this the
@@ -501,10 +533,42 @@ def render_pixels(
     ):
         from volxel_tpu.render.modes import build_premul_majorant
 
-        grid = grid._replace(
-            maj_alpha=build_premul_majorant(
-                grid.maj_mips, params, lut, config.physical_majorant
-            )
+        maj_alpha = build_premul_majorant(
+            grid.maj_mips, params, lut, config.physical_majorant
+        )
+        maj_mxu = None
+        if _mxu_gather_engaged(config, grid):
+            from volxel_tpu.render.sampling import pack_premul_pyramid
+
+            maj_mxu = pack_premul_pyramid(maj_alpha)
+        grid = grid._replace(maj_alpha=maj_alpha, maj_mxu=maj_mxu)
+    if (
+        _mxu_on(config)
+        and not config.debug_hits
+        and hasattr(grid, "_replace")
+        and getattr(grid, "lut_mxu", None) is None
+    ):
+        from volxel_tpu.render.mxu_gather import pack_gather_table
+
+        grid = grid._replace(lut_mxu=pack_gather_table(jnp.ravel(lut)))
+    if (
+        _mxu_on(config)
+        and not config.debug_hits
+        and getattr(env, "warp_d", None) is not None
+        and env.warp_d_mxu is None
+    ):
+        from volxel_tpu.render.mxu_gather import (
+            MXU_GATHER_MAX_TABLE,
+            pack_gather_table,
+        )
+        from volxel_tpu.scene.environment import pack_warp_tables
+
+        d_mxu, e_mxu = pack_warp_tables(env.warp_d, env.warp_e)
+        envmap_mxu = None
+        if env.envmap.size <= MXU_GATHER_MAX_TABLE:
+            envmap_mxu = pack_gather_table(env.envmap.reshape(-1))
+        env = env._replace(
+            warp_d_mxu=d_mxu, warp_e_mxu=e_mxu, envmap_mxu=envmap_mxu
         )
     state = seed_rays(pixel_index, frame_index)
 

@@ -53,6 +53,16 @@ class DeviceGrid(NamedTuple):
     # transfer-LUT. Same per-element op sequence as the inline computation
     # -> bit-identical renders (pinned by tests/test_render.py).
     maj_alpha: jax.Array | None = None  # (4, bz, by, bx) float32
+    # optional MXU-gather packing of maj_alpha (render.mxu_gather): the
+    # COMPACT pyramid (level m at its own (ceil(b/2^m))^3 resolution —
+    # same values, smaller index space) flattened level-major and packed
+    # into bf16 byte planes, so the march's per-step majorant fetch runs
+    # as a one-hot matmul on the MXU instead of XLA's serialized scalar
+    # gather. Values bit-equal to maj_alpha's by construction.
+    maj_mxu: jax.Array | None = None  # (R, 512) bfloat16
+    # MXU-gather packing of the transfer LUT (K*4 floats) — the decode
+    # and raymarch LUT fetches run on the MXU when present.
+    lut_mxu: jax.Array | None = None
 
 
 # dense fields are built for volumes up to this many bytes (bf16)
@@ -437,11 +447,66 @@ def lookup_majorant(grid: DeviceGrid, params: VolumeParams, ipos, mip):
     )
 
 
+def _compact_pyramid_dims(shape):
+    """Static per-level dims of the compact pyramid for a stacked
+    (4, bz, by, bx) pyramid: level m keeps every 2^m-th texel (the
+    stacked layout is a nearest-upsample, so slicing recovers the
+    pooled level exactly). Returns (dims, offsets): dims[m] = (cz, cy,
+    cx), offsets[m] = flat start of level m."""
+    _, bz, by, bx = shape
+    dims, offsets, off = [], [], 0
+    for m in range(4):
+        s = 1 << m
+        cz, cy, cx = -(-bz // s), -(-by // s), -(-bx // s)
+        dims.append((cz, cy, cx))
+        offsets.append(off)
+        off += cz * cy * cx
+    return dims, offsets
+
+
+def pack_premul_pyramid(maj_alpha: jax.Array) -> jax.Array:
+    """Stacked (4, bz, by, bx) premul pyramid -> MXU-gather byte planes
+    of the compact level-major flattening (values bit-equal: slicing a
+    nearest-upsampled level recovers the pooled level exactly)."""
+    from volxel_tpu.render.mxu_gather import pack_gather_table
+
+    levels = [
+        maj_alpha[m, :: 1 << m, :: 1 << m, :: 1 << m].reshape(-1) for m in range(4)
+    ]
+    return pack_gather_table(jnp.concatenate(levels))
+
+
+def _sel4(m, vals):
+    """Per-lane select of one of 4 static ints by mip — where-chain, not a
+    gather (a 4-entry table gather would serialize like any other)."""
+    return jnp.where(
+        m <= 1,
+        jnp.where(m == 0, vals[0], vals[1]),
+        jnp.where(m == 2, vals[2], vals[3]),
+    )
+
+
 def lookup_majorant_premul(grid, ipos, mip):
     """Fully-scaled DDA step majorant from the premultiplied alpha pyramid
     (grid.maj_alpha): one gather replaces pyramid gather + transfer-LUT
-    gather + the per-step scaling arithmetic."""
+    gather + the per-step scaling arithmetic. With grid.maj_mxu present
+    the gather itself runs as a one-hot MXU matmul (render.mxu_gather —
+    bit-equal values, ~Nx faster than XLA's serialized gather for
+    VMEM-small pyramids)."""
     bxc, byc, bzc = _majorant_coords(grid, ipos)
+    if getattr(grid, "maj_mxu", None) is not None:
+        from volxel_tpu.render.mxu_gather import mxu_gather_f32
+
+        dims, offsets = _compact_pyramid_dims(grid.maj_alpha.shape)
+        cx = [d[2] for d in dims]
+        cyx = [d[1] * d[2] for d in dims]
+        idx = (
+            _sel4(mip, offsets)
+            + (bzc >> mip) * _sel4(mip, cyx)
+            + (byc >> mip) * _sel4(mip, cx)
+            + (bxc >> mip)
+        )
+        return mxu_gather_f32(grid.maj_mxu, idx)
     return grid.maj_alpha[mip, bzc, byc, bxc]
 
 
@@ -520,13 +585,19 @@ def lookup_density_stochastic(
 # -- transfer function ---------------------------------------------------------
 
 
-def lookup_transfer(lut: jax.Array, sample_range, density):
+def lookup_transfer(lut: jax.Array, sample_range, density, mxu=None):
     """NEAREST LUT sample with range rejection (common.glsl:78-83).
 
     lut: (K, 4). density: (...,) normalized by the majorant. Returns (..., 4).
+    `mxu`: optional MXU-gather packing of lut (bit-equal values).
     """
     k = lut.shape[0]
     rejected = (density < sample_range[0]) | (density > sample_range[1])
     idx = jnp.clip(jnp.floor(density * k).astype(jnp.int32), 0, k - 1)
-    rgba = lut[idx]
+    if mxu is not None:
+        from volxel_tpu.render.mxu_gather import mxu_gather_f32
+
+        rgba = mxu_gather_f32(mxu, idx[..., None] * 4 + jnp.arange(4, dtype=jnp.int32))
+    else:
+        rgba = lut[idx]
     return jnp.where(rejected[..., None], 0.0, rgba)

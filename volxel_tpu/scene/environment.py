@@ -47,6 +47,26 @@ class EnvState(NamedTuple):
     envmap: jax.Array  # (H, W, 3) float32, texture space (row 0 = v~0)
     imp_mips: tuple  # mips[0]=(512,512) ... mips[9]=(1,1) float32
     strength: jax.Array  # scalar float32
+    # precomputed warp-descent decision tables (one per descent level,
+    # index = the `mip` of sample_environment's loop): warp_d[m][qy, qx]
+    # is the left-column probability d and warp_e[m][qy, qx, lr] the
+    # bottom probability e for the left (lr=0) / right (lr=1) column of
+    # the quad at (qy, qx). Each value replays the inline f32 op chain
+    # (adds + guarded divide) per texel, so the descent's compares and
+    # px/py updates are BIT-identical while the per-level gather count
+    # drops 4 -> 2 (XLA TPU prices gathers per element — NOTES.md r5).
+    warp_d: tuple | None = None  # m: (dim/2, dim/2) float32
+    warp_e: tuple | None = None  # m: (dim/2, dim/2, 2) float32
+    # MXU-gather packings of warp_d / warp_e (render.mxu_gather byte
+    # planes), attached by render_pixels when RenderConfig.mxu_gather
+    # engages; values bit-equal to the raw tables.
+    warp_d_mxu: tuple | None = None
+    warp_e_mxu: tuple | None = None
+    # MXU-gather packing of the envmap itself (bilinear taps), attached
+    # by render_pixels when the map fits the MXU budget (the default
+    # 8x6 checkerboard and typical small HDRs; multi-megapixel EXRs keep
+    # the XLA gather).
+    envmap_mxu: jax.Array | None = None
 
 
 def luma(rgb):
@@ -69,11 +89,37 @@ def build_env_state(envmap_texture: np.ndarray, strength: float = 1.0) -> EnvSta
     lum = luma(env)
     base = jax.image.resize(lum, (IMP_DIM, IMP_DIM), method="linear")
     mips = (base,) + tuple(build_importance_pyramid(base))
+    warp_d, warp_e = build_warp_tables(mips)
     return EnvState(
         envmap=env,
         imp_mips=mips,
         strength=jnp.float32(strength),
+        warp_d=warp_d,
+        warp_e=warp_e,
     )
+
+
+def build_warp_tables(mips) -> tuple[tuple, tuple]:
+    """Per-level warp decision tables (see EnvState): for every aligned
+    2x2 quad of mips[m], the left-column probability d and the two
+    column-conditional bottom probabilities (eL, eR), computed with the
+    exact inline op sequence of sample_environment so the descent's
+    compares are bit-identical. ~350k texels total — negligible build."""
+    warp_d, warp_e = [], []
+    for m in range(IMP_BASE_MIP):
+        imp = mips[m]
+        w00 = imp[0::2, 0::2]
+        w10 = imp[0::2, 1::2]
+        w01 = imp[1::2, 0::2]
+        w11 = imp[1::2, 1::2]
+        q0 = w00 + w01
+        q1 = w10 + w11
+        d = q0 / jnp.maximum(1e-8, q0 + q1)
+        e_l = w00 / jnp.maximum(1e-8, q0)
+        e_r = w10 / jnp.maximum(1e-8, q1)
+        warp_d.append(d)
+        warp_e.append(jnp.stack([e_l, e_r], axis=-1))
+    return tuple(warp_d), tuple(warp_e)
 
 
 class Environment:
@@ -88,11 +134,7 @@ class Environment:
 
     def with_strength(self, strength: float) -> "Environment":
         self.strength = float(strength)
-        self.state = EnvState(
-            envmap=self.state.envmap,
-            imp_mips=self.state.imp_mips,
-            strength=jnp.float32(strength),
-        )
+        self.state = self.state._replace(strength=jnp.float32(strength))
         return self
 
 
@@ -112,8 +154,11 @@ def default_environment() -> Environment:
 # -- device-side sampling ------------------------------------------------------
 
 
-def _bilinear_wrap_clamp(tex: jax.Array, u, v):
-    """Bilinear sample of (H, W, C) with wrap in u, clamp in v (GL REPEAT/CLAMP)."""
+def _bilinear_wrap_clamp(tex: jax.Array, u, v, packed=None):
+    """Bilinear sample of (H, W, C) with wrap in u, clamp in v (GL REPEAT/CLAMP).
+
+    `packed`, when given, is the MXU-gather packing of tex (bit-equal
+    taps through one Pallas call instead of 4 vector gathers)."""
     h, w = tex.shape[0], tex.shape[1]
     x = u * w - 0.5
     y = v * h - 0.5
@@ -128,10 +173,21 @@ def _bilinear_wrap_clamp(tex: jax.Array, u, v):
     # the scalar GLSL oracle at the equirect poles, tests/oracle.py)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-    t00 = tex[y0i, x0i]
-    t10 = tex[y0i, x1i]
-    t01 = tex[y1i, x0i]
-    t11 = tex[y1i, x1i]
+    if packed is not None:
+        from volxel_tpu.render.mxu_gather import mxu_gather_f32
+
+        c = tex.shape[2]
+        ch = jnp.arange(c, dtype=jnp.int32)
+        base = jnp.stack(
+            [y0i * w + x0i, y0i * w + x1i, y1i * w + x0i, y1i * w + x1i]
+        )
+        taps = mxu_gather_f32(packed, base[..., None] * c + ch)
+        t00, t10, t01, t11 = taps[0], taps[1], taps[2], taps[3]
+    else:
+        t00 = tex[y0i, x0i]
+        t10 = tex[y0i, x1i]
+        t01 = tex[y1i, x0i]
+        t11 = tex[y1i, x1i]
     return (
         t00 * (1 - fx) * (1 - fy)
         + t10 * fx * (1 - fy)
@@ -149,7 +205,9 @@ def _dir_to_uv(direction):
 def lookup_environment(env: EnvState, direction):
     """Equirect radiance lookup (environment.glsl:19-27)."""
     u, v = _dir_to_uv(direction)
-    return env.strength * _bilinear_wrap_clamp(env.envmap, u, v)
+    return env.strength * _bilinear_wrap_clamp(
+        env.envmap, u, v, getattr(env, "envmap_mxu", None)
+    )
 
 
 def lookup_environment_light(env: EnvState, direction, light_dir):
@@ -157,6 +215,25 @@ def lookup_environment_light(env: EnvState, direction, light_dir):
     d = jnp.sum(direction * (-light_dir), axis=-1)
     glow = jnp.clip(jnp.power(jnp.maximum(d, 0.0), 300.0), 0.0, 1.0) * 4.0 + 0.01
     return env.strength * glow[..., None] * jnp.ones(3, jnp.float32)
+
+
+def _warp_gather(raw: jax.Array, packed, flat_idx):
+    """One warp-table fetch: MXU one-hot gather when a packing is
+    attached (bit-equal values — render.mxu_gather), else XLA gather."""
+    if packed is not None:
+        from volxel_tpu.render.mxu_gather import mxu_gather_f32
+
+        return mxu_gather_f32(packed, flat_idx)
+    return raw.reshape(-1)[flat_idx]
+
+
+def pack_warp_tables(warp_d: tuple, warp_e: tuple) -> tuple[tuple, tuple]:
+    """MXU byte-plane packings for every warp level (render.mxu_gather)."""
+    from volxel_tpu.render.mxu_gather import pack_gather_table
+
+    d_mxu = tuple(pack_gather_table(d.reshape(-1)) for d in warp_d)
+    e_mxu = tuple(pack_gather_table(e.reshape(-1)) for e in warp_e)
+    return d_mxu, e_mxu
 
 
 def sample_environment(env: EnvState, rnd2, physical: bool = False):
@@ -173,25 +250,41 @@ def sample_environment(env: EnvState, rnd2, physical: bool = False):
     py = rnd2[..., 1]
 
     for mip in range(IMP_BASE_MIP - 1, -1, -1):
-        imp = env.imp_mips[mip]  # (512>>mip, 512>>mip)
-        pos_x = pos_x * 2
-        pos_y = pos_y * 2
-        w00 = imp[pos_y, pos_x]
-        w10 = imp[pos_y, pos_x + 1]
-        w01 = imp[pos_y + 1, pos_x]
-        w11 = imp[pos_y + 1, pos_x + 1]
-        q0 = w00 + w01  # left column
-        q1 = w10 + w11  # right column
-        d = q0 / jnp.maximum(1e-8, q0 + q1)
-        go_right = px >= d
+        if env.warp_d is not None:
+            # table path: 2 gathers/level instead of 4 (EnvState.warp_d
+            # docstring); d/e values and every compare bit-identical to
+            # the inline chain below (pinned by
+            # tests/test_scene.py::test_warp_tables_bit_identical)
+            dim_q = env.warp_d[mip].shape[1]
+            d = _warp_gather(
+                env.warp_d[mip],
+                env.warp_d_mxu[mip] if env.warp_d_mxu is not None else None,
+                pos_y * dim_q + pos_x,
+            )
+            go_right = px >= d
+            e = _warp_gather(
+                env.warp_e[mip],
+                env.warp_e_mxu[mip] if env.warp_e_mxu is not None else None,
+                (pos_y * dim_q + pos_x) * 2 + go_right.astype(jnp.int32),
+            )
+        else:
+            imp = env.imp_mips[mip]  # (512>>mip, 512>>mip)
+            w00 = imp[pos_y * 2, pos_x * 2]
+            w10 = imp[pos_y * 2, pos_x * 2 + 1]
+            w01 = imp[pos_y * 2 + 1, pos_x * 2]
+            w11 = imp[pos_y * 2 + 1, pos_x * 2 + 1]
+            q0 = w00 + w01  # left column
+            q1 = w10 + w11  # right column
+            d = q0 / jnp.maximum(1e-8, q0 + q1)
+            go_right = px >= d
+            w_sel_bottom = jnp.where(go_right, w10, w00)
+            q_sel = jnp.where(go_right, q1, q0)
+            e = w_sel_bottom / jnp.maximum(1e-8, q_sel)
         px = jnp.where(go_right, (px - d) / jnp.maximum(1e-8, 1.0 - d), px / jnp.maximum(1e-8, d))
-        pos_x = pos_x + go_right.astype(jnp.int32)
-        w_sel_bottom = jnp.where(go_right, w10, w00)
-        q_sel = jnp.where(go_right, q1, q0)
-        e = w_sel_bottom / jnp.maximum(1e-8, q_sel)
+        pos_x = pos_x * 2 + go_right.astype(jnp.int32)
         go_up = py >= e
         py = jnp.where(go_up, (py - e) / jnp.maximum(1e-8, 1.0 - e), py / jnp.maximum(1e-8, e))
-        pos_y = pos_y + go_up.astype(jnp.int32)
+        pos_y = pos_y * 2 + go_up.astype(jnp.int32)
 
     inv_dim = 1.0 / IMP_DIM
     uv_x = (pos_x.astype(jnp.float32) + px) * inv_dim
@@ -201,7 +294,9 @@ def sample_environment(env: EnvState, rnd2, physical: bool = False):
     sin_t = jnp.sin(theta)
     w_i = jnp.stack([sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)], axis=-1)
 
-    le = env.strength * _bilinear_wrap_clamp(env.envmap, uv_x, uv_y)
+    le = env.strength * _bilinear_wrap_clamp(
+        env.envmap, uv_x, uv_y, getattr(env, "envmap_mxu", None)
+    )
     avg_w = env.imp_mips[IMP_BASE_MIP][0, 0]
     texel_ratio = env.imp_mips[0][pos_y, pos_x] / avg_w
     if physical:
