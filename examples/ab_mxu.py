@@ -62,6 +62,16 @@ def main() -> None:
         "tables": (config._replace(mxu_gather=False), env),
         "mxu": (config._replace(mxu_gather=True), env),
         "mxu-march": (config._replace(mxu_gather=True), env_bare),
+        # decode-structure re-check: with the march majorant fetch on the
+        # MXU, the single-loop form's per-collision-iteration argsort may
+        # lose to the two-phase park-and-batch decode (fewer sorts) —
+        # the r6 verdict was taken under the serial-gather cost model
+        "mxu-phase2": (
+            config._replace(mxu_gather=True, compact_decode="phase2"), env),
+        "mxu-mixed": (
+            config._replace(mxu_gather=True, compact_decode="mixed"), env),
+        "mxu-unchunked": (
+            config._replace(mxu_gather=True, chunk_size=width * height), env),
     }
 
     def run(cfg, e, fi):

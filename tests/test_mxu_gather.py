@@ -46,6 +46,24 @@ def test_bit_exact_adversarial_table():
     np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
 
 
+@pytest.mark.parametrize("dtype", ["int8", "bfloat16"])
+def test_both_packings_bit_exact(dtype):
+    """int8 (preferred — integer MXU accumulation) and bf16 (fallback)
+    packings both reproduce every bit pattern."""
+    rng = np.random.default_rng(11)
+    t = rng.standard_normal(700).astype(np.float32)
+    t[5] = np.nan
+    t[6] = np.float32(1e-42)
+    t[7] = -np.inf
+    flat = jnp.asarray(t)
+    packed = pack_gather_table(flat, dtype)
+    idx = jnp.asarray(rng.integers(0, 700, size=3000).astype(np.int32))
+    got = np.asarray(mxu_gather_f32(packed, idx))
+    np.testing.assert_array_equal(
+        got.view(np.uint32), np.asarray(flat[idx]).view(np.uint32)
+    )
+
+
 def test_block_padding_and_shapes():
     """Lane counts that aren't block multiples pad internally; any idx
     shape round-trips."""

@@ -236,17 +236,31 @@ def test_warp_tables_mxu_bit_identical():
 
     img = np.random.default_rng(7).uniform(0.0, 2.0, (32, 64, 3)).astype(np.float32)
     state = build_env_state(img)
+    from volxel_tpu.render.mxu_gather import pack_gather_table
+
     d_mxu, e_mxu = pack_warp_tables(state.warp_d, state.warp_e)
-    packed = state._replace(warp_d_mxu=d_mxu, warp_e_mxu=e_mxu)
+    packed = state._replace(
+        warp_d_mxu=d_mxu, warp_e_mxu=e_mxu,
+        imp0_mxu=pack_gather_table(state.imp_mips[0].reshape(-1)),
+    )
     rnd = jnp.asarray(
         np.random.default_rng(8).uniform(0, 1, (1024, 2)).astype(np.float32)
     )
-    got = _sample_env(packed, rnd)
-    want = _sample_env(state, rnd)
-    for g, w in zip(got, want):
-        np.testing.assert_array_equal(
-            np.asarray(g).view(np.uint32), np.asarray(w).view(np.uint32)
-        )
+    for physical in (False, True):
+        got = _sample_env(packed, rnd, physical)
+        want = _sample_env(state, rnd, physical)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(
+                np.asarray(g).view(np.uint32), np.asarray(w).view(np.uint32)
+            )
+    # the physical pdf's texel fetch rides imp0_mxu too
+    d = np.random.default_rng(12).normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    gp = _pdf_env(packed, jnp.asarray(d), True)
+    wp = _pdf_env(state, jnp.asarray(d), True)
+    np.testing.assert_array_equal(
+        np.asarray(gp).view(np.uint32), np.asarray(wp).view(np.uint32)
+    )
 
 
 def test_envmap_mxu_bilinear_bit_identical():

@@ -6,18 +6,20 @@ size (NOTES.md "First REAL profile"), which makes the DDA march's
 one-majorant-gather-per-step the dominant cost of the default render
 mode. The MXU can instead select table rows with a one-hot matmul at
 N*T MAC cost: for a table of T elements and N lanes the wall time is
-~N*T/peak_flops, which beats the serial chase whenever the table is
+~N*T/peak_ops, which beats the serial chase whenever the table is
 VMEM-small (the stacked majorant pyramid is 37k entries at 256^3 and
-300k at 512^3; environment importance mips are <=64k).
+300k at 512^3; environment warp tables are <=131k).
 
 Bit-exactness (the repo's oracle/sharding contracts demand the gathered
 VALUES be identical to `table[idx]`): the f32 table is decomposed into
-its four BYTE planes, each stored as bf16 (integers 0..255 are exact in
-bf16). A one-hot row (0.0/1.0, exact in bf16) dotted with a byte plane
-and accumulated in f32 reproduces each byte exactly (one nonzero
-product, all other terms exact zeros), and the bytes are reassembled
-with integer shifts and a bitcast — exact for EVERY f32 bit pattern,
-including denormals and NaNs. Pinned by tests/test_mxu_gather.py.
+its four BYTE planes. Preferred packing stores them as int8 and runs
+int8 x int8 -> int32 MXU dots (one nonzero 0/1 x byte product per lane,
+integer accumulation — exact by construction, and int8 MXU throughput
+is 2x bf16 on v5e). Fallback packing stores bytes as bf16 (integers
+0..255 are exact in bf16; a single nonzero product accumulated in f32
+is exact). Bytes are reassembled with integer shifts and a bitcast —
+exact for EVERY f32 bit pattern, including denormals and NaNs. Pinned
+by tests/test_mxu_gather.py.
 
 Reference note: this implements the texture-unit role of the GPU's
 `texelFetch` on brick ranges (sampling/common.glsl:50-53) for hardware
@@ -42,22 +44,38 @@ _LANE = 128  # table row width == vreg lane count
 _DEFAULT_BLOCK = 1024  # lanes per grid step
 
 
-def pack_gather_table(flat: jax.Array) -> jax.Array:
-    """(T,) f32 -> (R, 4*128) bf16 byte planes, R = ceil(T/128).
-
-    Column layout: plane p of element (row r, col c) lives at
-    [r, p*128 + c]. Pure elementwise ops — cheap to run in-graph so the
-    packed table stays a loop-invariant the compiler hoists.
-    """
+def _byte_planes(flat: jax.Array) -> jax.Array:
+    """(T,) f32 -> (R, 128, 4) uint32 byte values, R = ceil(T/128)."""
     t = flat.shape[0]
     r = -(-t // _LANE)
     padded = jnp.zeros((r * _LANE,), jnp.float32).at[:t].set(flat)
     bits = jax.lax.bitcast_convert_type(padded, jnp.uint32).reshape(r, _LANE)
-    planes = [
-        ((bits >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
-        for p in range(4)
-    ]
-    return jnp.concatenate(planes, axis=1)
+    return jnp.stack(
+        [(bits >> jnp.uint32(8 * p)) & jnp.uint32(0xFF) for p in range(4)], axis=-1
+    )
+
+
+def pack_gather_table(flat: jax.Array, dtype: str | None = None) -> jax.Array:
+    """(T,) f32 -> (R, 4*128) byte planes, R = ceil(T/128).
+
+    Column layout: plane p of element (row r, col c) lives at
+    [r, p*128 + c]. dtype "int8" (default — int MXU path, exact integer
+    accumulation) or "bfloat16" (fallback for backends without int8
+    dots; 0..255 and 0/1 are exact in bf16, so still bit-exact). Pure
+    elementwise ops — cheap to run in-graph so the packed table stays a
+    loop-invariant the compiler hoists.
+    """
+    if dtype is None:
+        dtype = preferred_pack_dtype() or "int8"
+    planes = _byte_planes(flat)  # (R, 128, 4)
+    stacked = jnp.concatenate(
+        [planes[:, :, p] for p in range(4)], axis=1
+    )  # (R, 4*128)
+    if dtype == "int8":
+        # bytes 0..255 don't fit int8; store value-128 (one int sub in
+        # the kernel restores it after the dot — still exact)
+        return (stacked.astype(jnp.int32) - 128).astype(jnp.int8)
+    return stacked.astype(jnp.bfloat16)
 
 
 def _gather_kernel(idx_ref, table_ref, out_ref):
@@ -65,21 +83,47 @@ def _gather_kernel(idx_ref, table_ref, out_ref):
     idx = idx_ref[:]  # (B, 1) int32
     row = idx >> 7
     col = idx & 127
-    onehot = (
-        row == jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], rows), 1)
-    ).astype(jnp.bfloat16)
-    vals = jnp.dot(
-        onehot, table_ref[:], preferred_element_type=jnp.float32
-    )  # (B, 4*128) — each byte value exact (see module docstring)
-    colb = jnp.broadcast_to(col, (idx.shape[0], _LANE))
+    onehot_bool = row == jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], rows), 1)
+    if table_ref.dtype == jnp.int8:
+        onehot = onehot_bool.astype(jnp.int8)
+        vals = jax.lax.dot_general(
+            onehot,
+            table_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # undo the -128 bias: exactly one one-hot hit per lane
+        vals = vals + 128
+        colb = jnp.broadcast_to(col, (idx.shape[0], _LANE))
 
-    def plane(p):
-        sel = jnp.take_along_axis(vals[:, p * _LANE : (p + 1) * _LANE], colb, axis=1)
-        return sel[:, :1]
+        def plane(p):
+            sel = jnp.take_along_axis(
+                vals[:, p * _LANE : (p + 1) * _LANE], colb, axis=1
+            )
+            return sel[:, :1].astype(jnp.uint32)
 
-    lo16 = plane(0) + plane(1) * 256.0
-    hi16 = plane(2) + plane(3) * 256.0
-    bits = lo16.astype(jnp.uint32) + (hi16.astype(jnp.uint32) << jnp.uint32(16))
+        bits = (
+            plane(0)
+            | (plane(1) << jnp.uint32(8))
+            | (plane(2) << jnp.uint32(16))
+            | (plane(3) << jnp.uint32(24))
+        )
+    else:
+        onehot = onehot_bool.astype(jnp.bfloat16)
+        vals = jnp.dot(
+            onehot, table_ref[:], preferred_element_type=jnp.float32
+        )  # each byte value exact (module docstring)
+        colb = jnp.broadcast_to(col, (idx.shape[0], _LANE))
+
+        def plane(p):
+            sel = jnp.take_along_axis(
+                vals[:, p * _LANE : (p + 1) * _LANE], colb, axis=1
+            )
+            return sel[:, :1]
+
+        lo16 = plane(0) + plane(1) * 256.0
+        hi16 = plane(2) + plane(3) * 256.0
+        bits = lo16.astype(jnp.uint32) + (hi16.astype(jnp.uint32) << jnp.uint32(16))
     out_ref[:] = jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
@@ -105,26 +149,37 @@ def _mxu_gather_call(table, idx2, block: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=1)
+def preferred_pack_dtype() -> str | None:
+    """One-shot hardware probe: the fastest packing whose kernel compiles
+    AND returns bit-exact values on this backend (int8 MXU dots are 2x
+    bf16 throughput on v5e; some Mosaic versions may lack int8 dot
+    lowering). None = neither works — don't use the MXU path."""
+    import numpy as np
+
+    # the probe may be reached from INSIDE a jit trace (pack_gather_table
+    # runs in-graph at render trace time); ensure_compile_time_eval makes
+    # its tiny arrays concrete so the device round-trip works there too
+    with jax.ensure_compile_time_eval():
+        flat = jnp.arange(300, dtype=jnp.float32) * 1.7 - 250.0
+        want = np.asarray(flat[::-1]).view(np.uint32)
+        for dtype in ("int8", "bfloat16"):
+            try:
+                got = mxu_gather_f32(
+                    pack_gather_table(flat, dtype),
+                    jnp.arange(300, dtype=jnp.int32)[::-1],
+                )
+                if np.array_equal(np.asarray(got).view(np.uint32), want):
+                    return dtype
+            except Exception:  # noqa: BLE001 — try the next packing
+                continue
+        return None
+
+
 def mxu_gather_supported() -> bool:
-    """One-shot hardware probe: does the kernel compile AND return
-    bit-exact values on this backend? Used by Renderer to resolve
+    """Does any packing work on this backend? Used by Renderer to resolve
     mxu_gather="auto" so a Mosaic lowering gap degrades to the XLA
     gather instead of failing every render."""
-    try:
-        import numpy as np
-
-        flat = jnp.arange(300, dtype=jnp.float32) * 1.7 - 250.0
-        got = mxu_gather_f32(
-            pack_gather_table(flat), jnp.arange(300, dtype=jnp.int32)[::-1]
-        )
-        return bool(
-            np.array_equal(
-                np.asarray(got).view(np.uint32),
-                np.asarray(flat[::-1]).view(np.uint32),
-            )
-        )
-    except Exception:  # noqa: BLE001 — any failure means "don't use it"
-        return False
+    return preferred_pack_dtype() is not None
 
 
 def mxu_gather_f32(
@@ -136,9 +191,9 @@ def mxu_gather_f32(
 ) -> jax.Array:
     """Gather f32 values by flat element index from a packed table.
 
-    table: (R, 4*128) bf16 from pack_gather_table. idx: any int32 shape,
-    entries in [0, R*128). Returns f32 of idx's shape, bit-equal to
-    `flat_table[idx]`.
+    table: (R, 4*128) int8/bf16 from pack_gather_table. idx: any int32
+    shape, entries in [0, R*128). Returns f32 of idx's shape, bit-equal
+    to `flat_table[idx]`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

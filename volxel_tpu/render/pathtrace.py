@@ -568,7 +568,10 @@ def render_pixels(
         if env.envmap.size <= MXU_GATHER_MAX_TABLE:
             envmap_mxu = pack_gather_table(env.envmap.reshape(-1))
         env = env._replace(
-            warp_d_mxu=d_mxu, warp_e_mxu=e_mxu, envmap_mxu=envmap_mxu
+            warp_d_mxu=d_mxu,
+            warp_e_mxu=e_mxu,
+            envmap_mxu=envmap_mxu,
+            imp0_mxu=pack_gather_table(env.imp_mips[0].reshape(-1)),
         )
     state = seed_rays(pixel_index, frame_index)
 

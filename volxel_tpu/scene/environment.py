@@ -67,6 +67,9 @@ class EnvState(NamedTuple):
     # 8x6 checkerboard and typical small HDRs; multi-megapixel EXRs keep
     # the XLA gather).
     envmap_mxu: jax.Array | None = None
+    # MXU-gather packing of imp_mips[0] (the warp's final texel-ratio
+    # fetch + the physical pdf's texel fetch).
+    imp0_mxu: jax.Array | None = None
 
 
 def luma(rgb):
@@ -298,7 +301,10 @@ def sample_environment(env: EnvState, rnd2, physical: bool = False):
         env.envmap, uv_x, uv_y, getattr(env, "envmap_mxu", None)
     )
     avg_w = env.imp_mips[IMP_BASE_MIP][0, 0]
-    texel_ratio = env.imp_mips[0][pos_y, pos_x] / avg_w
+    texel_ratio = (
+        _warp_gather(env.imp_mips[0], env.imp0_mxu, pos_y * IMP_DIM + pos_x)
+        / avg_w
+    )
     if physical:
         # texel mass / (avg * N) over uv-area 1/N, through the equirect
         # Jacobian d(omega) = 2*pi^2*sin(theta) d(uv): the warp's actual
@@ -336,7 +342,9 @@ def pdf_environment(env: EnvState, direction, physical: bool = False):
         sin_t = jnp.sqrt(
             jnp.maximum(1.0 - jnp.clip(direction[..., 1], -1.0, 1.0) ** 2, 0.0)
         )
-        return env.imp_mips[0][py, px] / avg_w / (
+        return _warp_gather(
+            env.imp_mips[0], getattr(env, "imp0_mxu", None), py * IMP_DIM + px
+        ) / avg_w / (
             2.0 * M_PI * M_PI * jnp.maximum(sin_t, jnp.float32(1e-6))
         )
     le = lookup_environment(env, direction)
