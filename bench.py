@@ -109,6 +109,20 @@ def _err(e: BaseException) -> str:
     return f"{type(e).__name__}: {e}"[:300]
 
 
+def _mxu_status(r) -> dict:
+    """Whether the MXU one-hot gather engaged for this run (attribution:
+    a driver bench where the kernel probe failed should say so)."""
+    try:
+        from volxel_tpu.render.mxu_gather import preferred_pack_dtype
+
+        return {
+            "engaged": bool(r._resolve_mxu_gather()),
+            "pack_dtype": preferred_pack_dtype(),
+        }
+    except Exception as e:  # noqa: BLE001 — attribution only, never fatal
+        return {"error": _err(e)}
+
+
 def _frame_filled(r) -> None:
     """Reframe to the VOLUME-FILLING protocol (VERDICT r3 item 3): camera
     close enough that the unit-cube AABB covers ~the whole 16:9 viewport
@@ -480,6 +494,7 @@ def _main() -> None:
                     "relay_ack_* reproduces the void BENCH_r01-r03 protocol"
                 ),
                 "mrays_per_s": round(width * height / (ms_per_frame / 1000.0) / 1e6, 4),
+                "mxu_gather": _mxu_status(r),
                 "steps": steps,
                 "steps_filled": steps_filled,
                 "ingest_s": ingest_s,

@@ -72,6 +72,11 @@ def main() -> None:
             config._replace(mxu_gather=True, compact_decode="mixed"), env),
         "mxu-unchunked": (
             config._replace(mxu_gather=True, chunk_size=width * height), env),
+        # spatial-key decode compaction: serialized gather latency drops
+        # with index locality, and the sort is already paid
+        "mxu-spatial": (
+            config._replace(mxu_gather=True, compact_decode="loop-spatial"),
+            env),
     }
 
     def run(cfg, e, fi):

@@ -561,7 +561,7 @@ def test_compact_decode_same_estimator_wide(grid, monkeypatch):
     r = _renderer(grid, size=48, bounces=2)
     r.render_frame()
     config, *rest = r._cached_operands
-    arms = (False, "loop", "phase2")
+    arms = (False, "loop", "loop-spatial", "phase2")
     cfgs = {flag: config._replace(compact_decode=flag) for flag in arms}
     one = {
         flag: np.asarray(render_sample(cfg, *rest, jnp.uint32(5)))
@@ -572,7 +572,7 @@ def test_compact_decode_same_estimator_wide(grid, monkeypatch):
         for flag, cfg in cfgs.items()
     }
     n = one[False].shape[0]
-    for flag in ("loop", "phase2"):
+    for flag in ("loop", "loop-spatial", "phase2"):
         diff_pixels = int((one[flag] != one[False]).any(axis=-1).sum())
         assert diff_pixels <= max(2, n // 200), (
             f"{flag}: {diff_pixels}/{n} pixels differ — compact_decode is no "

@@ -166,7 +166,7 @@ def _decode_rgba(grid, params, lut, pos):
     )
 
 
-def _compact_decode_rgba(grid, params, lut, pos, live):
+def _compact_decode_rgba(grid, params, lut, pos, live, spatial: bool = False):
     """_decode_rgba evaluated only (approximately) for `live` lanes.
 
     XLA TPU lowers the per-lane volume gathers to serialized ~27-50
@@ -194,7 +194,24 @@ def _compact_decode_rgba(grid, params, lut, pos, live):
         return jnp.zeros((n, 4), jnp.float32)
 
     def compacted(_):
-        order = jnp.argsort(~live, stable=True)  # live lanes first
+        if spatial:
+            # order live lanes by their base tap's z-major voxel index:
+            # the serialized gather is a latency-bound pointer chase
+            # whose per-element cost drops with index locality (NOTES r5
+            # profile), and memory-order taps walk the dense field
+            # near-sequentially. Dead lanes sort to the suffix (key
+            # 2^30 > any voxel index). Same width ladder + ulp
+            # realization contract as the liveness-only key.
+            base = jnp.clip(
+                jnp.floor(pos - 0.5).astype(jnp.int32), 0, grid.extent - 1
+            )
+            flat = (
+                base[..., 2] * grid.extent[1] + base[..., 1]
+            ) * grid.extent[0] + base[..., 0]
+            key = jnp.where(live, flat, jnp.int32(1 << 30))
+            order = jnp.argsort(key, stable=True)
+        else:
+            order = jnp.argsort(~live, stable=True)  # live lanes first
         inv = jnp.argsort(order, stable=True)
         pos_p = pos[order]
         cnt = jnp.sum(live)
@@ -406,7 +423,8 @@ def sample_volume_dda(
 
 
 def _sample_compact_loop(
-    grid, params, lut, ipos, idir, far, next_w, majorant_envelope, with_stats
+    grid, params, lut, ipos, idir, far, next_w, majorant_envelope, with_stats,
+    spatial=False,
 ):
     """cond/body for sample_volume_dda_compact's march while_loop at one
     width. next_w (a narrower ladder rung) adds the shrink-ladder handoff
@@ -449,7 +467,7 @@ def _sample_compact_loop(
 
         # collision decode, compacted to the collided lanes
         rgba = _compact_decode_rgba(
-            grid, params, lut, ipos + t[..., None] * idir, live
+            grid, params, lut, ipos + t[..., None] * idir, live, spatial
         )
         d = params.vol_maj * rgba[..., 3]
         state, xi1 = rng_where(live, state)
@@ -474,7 +492,7 @@ def _sample_compact_loop(
 def sample_volume_dda_compact(
     grid, params, lut, origin, direction, state, active,
     majorant_envelope: bool = False, with_stats: bool = False,
-    ladder: bool = False,
+    ladder: bool = False, spatial_decode: bool = False,
 ):
     """Single-loop DDA distance sampling with a COMPACTED collision decode.
 
@@ -519,7 +537,7 @@ def sample_volume_dda_compact(
     if not use_ladder:
         cond, body = _sample_compact_loop(
             grid, params, lut, ipos, idir, far, None, majorant_envelope,
-            with_stats,
+            with_stats, spatial_decode,
         )
         init = (
             state,
@@ -560,7 +578,8 @@ def sample_volume_dda_compact(
     for si, w in enumerate(rungs):
         next_w = rungs[si + 1] if si + 1 < len(rungs) else None
         cond, body = _sample_compact_loop(
-            grid, params, lut, ip, idr, fr, next_w, majorant_envelope, False
+            grid, params, lut, ip, idr, fr, next_w, majorant_envelope, False,
+            spatial_decode,
         )
         state, t, tau, mip, running, hit, rgb, it = jax.lax.while_loop(
             cond, body, (state, t, tau, mip, running, hit, rgb, it)
@@ -630,7 +649,7 @@ def sample_volume_dda_compact(
 
 def _transmittance_compact_loop(
     grid, params, lut, ipos, idir, far, next_w, physical,
-    majorant_envelope, with_stats,
+    majorant_envelope, with_stats, spatial=False,
 ):
     """cond/body for transmittance_dda_compact's while_loop at one width
     (next_w: shrink-ladder handoff exit, as in _sample_compact_loop)."""
@@ -671,7 +690,7 @@ def _transmittance_compact_loop(
         )
 
         rgba = _compact_decode_rgba(
-            grid, params, lut, ipos + t[..., None] * idir, check
+            grid, params, lut, ipos + t[..., None] * idir, check, spatial
         )
         d = params.vol_maj * rgba[..., 3]
         state, xi1 = rng_where(check, state)
@@ -716,6 +735,7 @@ def transmittance_dda_compact(
     majorant_envelope: bool = False,
     with_stats: bool = False,
     ladder: bool = False,
+    spatial_decode: bool = False,
 ):
     """Single-loop transmittance with a compacted collision decode —
     sample_volume_dda_compact's counterpart of transmittance_dda (same
@@ -740,7 +760,7 @@ def transmittance_dda_compact(
     if not use_ladder:
         cond, body = _transmittance_compact_loop(
             grid, params, lut, ipos, idir, far, None, physical,
-            majorant_envelope, with_stats,
+            majorant_envelope, with_stats, spatial_decode,
         )
         init = (
             state,
@@ -773,7 +793,7 @@ def transmittance_dda_compact(
         next_w = rungs[si + 1] if si + 1 < len(rungs) else None
         cond, body = _transmittance_compact_loop(
             grid, params, lut, ip, idr, fr, next_w, physical,
-            majorant_envelope, False,
+            majorant_envelope, False, spatial_decode,
         )
         state, t, tau, mip, running, tr, it = jax.lax.while_loop(
             cond, body, (state, t, tau, mip, running, tr, it)
@@ -1018,7 +1038,9 @@ def _simple_sample_loop(
         state = state_in
         pos = ipos + t[..., None] * idir
         if compact:
-            rgba = _compact_decode_rgba(grid, params, lut, pos, running)
+            rgba = _compact_decode_rgba(
+                grid, params, lut, pos, running, compact == "spatial"
+            )
         else:
             rgba = lookup_transfer(
                 lut,
@@ -1189,7 +1211,9 @@ def _simple_transmittance_loop(
         state = state_in
         pos = ipos + t[..., None] * idir
         if compact:
-            rgba = _compact_decode_rgba(grid, params, lut, pos, running)
+            rgba = _compact_decode_rgba(
+                grid, params, lut, pos, running, compact == "spatial"
+            )
         else:
             rgba = lookup_transfer(
                 lut,
@@ -1546,18 +1570,28 @@ def get_mode_functions(
         # live lane; any truthy compact_decode compacts that decode to
         # the running lanes (same contract as the default-mode variants).
         # march_ladder narrows the whole event loop as lanes terminate.
+        simple_compact = (
+            "spatial" if compact_decode == "loop-spatial"
+            else bool(compact_decode)
+        )
         sample_volume = functools.partial(
-            sample_volume_simple, compact=bool(compact_decode),
+            sample_volume_simple, compact=simple_compact,
             ladder=march_ladder,
         )
         transmittance = functools.partial(
-            transmittance_simple, compact=bool(compact_decode),
+            transmittance_simple, compact=simple_compact,
             ladder=march_ladder,
         )
     if mode == "default":
-        if compact_decode in (True, "loop"):
-            sv_base = sample_volume_dda_compact
-            tr_base = transmittance_dda_compact
+        if compact_decode in (True, "loop", "loop-spatial"):
+            # "loop-spatial": the compacted decode's sort key becomes the
+            # base tap's z-major voxel index (see _compact_decode_rgba) —
+            # gathers then walk the dense field near-sequentially
+            spatial = compact_decode == "loop-spatial"
+            sv_base = functools.partial(
+                sample_volume_dda_compact, spatial_decode=spatial)
+            tr_base = functools.partial(
+                transmittance_dda_compact, spatial_decode=spatial)
         elif compact_decode == "mixed":
             sv_base = sample_volume_dda_compact
             tr_base = functools.partial(transmittance_dda, compact_phase2=True)

@@ -114,8 +114,12 @@ class RenderConfig(NamedTuple):
     # cost tracks the collided FRACTION instead of the wavefront width
     # (XLA TPU gathers serialize per element — NOTES.md r5 real profile).
     # "loop"/True = single-loop DDA decoding compactly every iteration
-    # (modes.sample_volume_dda_compact); "phase2" = keep the two-phase
-    # park-and-batch march, compact only the phase-2 decode. Same
+    # (modes.sample_volume_dda_compact); "loop-spatial" = same, with the
+    # compaction sort keyed by the base tap's z-major voxel index so the
+    # serialized decode gathers walk memory near-sequentially (the r5
+    # profile: gather latency drops with index locality); "phase2" =
+    # keep the two-phase park-and-batch march, compact only the
+    # phase-2 decode. Same
     # per-lane op + draw protocol in all variants; below
     # modes.COMPACT_DECODE_MIN_LANES lanes the decode is full-width and
     # results are bit-identical to the baseline (pinned by
