@@ -77,6 +77,9 @@ def main() -> None:
         "mxu-spatial": (
             config._replace(mxu_gather=True, compact_decode="loop-spatial"),
             env),
+        # finer shrink rungs: halve the dead-width slack per ladder stage
+        "mxu-ladder2": (
+            config._replace(mxu_gather=True, ladder_factor=2), env),
     }
 
     def run(cfg, e, fi):

@@ -489,16 +489,20 @@ def test_march_ladder_same_estimator(grid, monkeypatch):
         cfgs = {
             flag: config._replace(march_ladder=flag) for flag in (False, True)
         }
+        # finer rungs (RenderConfig.ladder_factor=2) share the contract
+        cfgs[2] = config._replace(march_ladder=True, ladder_factor=2)
         one = {
             flag: np.asarray(render_sample(cfg, *rest, jnp.uint32(5)))
             for flag, cfg in cfgs.items()
         }
         n = one[False].shape[0]
-        diff_pixels = int((one[True] != one[False]).any(axis=-1).sum())
-        assert diff_pixels <= max(2, n // 200), (
-            f"march_ladder(phys={phys}): {diff_pixels}/{n} pixels differ — "
-            "the ladder is no longer a pure width restructure"
-        )
+        for arm in (True, 2):
+            diff_pixels = int((one[arm] != one[False]).any(axis=-1).sum())
+            assert diff_pixels <= max(2, n // 200), (
+                f"march_ladder(phys={phys}, arm={arm}): {diff_pixels}/{n} "
+                "pixels differ — the ladder is no longer a pure width "
+                "restructure"
+            )
         if not phys:
             mean = {
                 flag: np.asarray(render_sample_batch(32, cfg, *rest, jnp.uint32(0)))

@@ -385,9 +385,13 @@ class Renderer:
 
         if jax.default_backend() != "tpu":
             return False
-        from volxel_tpu.render.mxu_gather import mxu_gather_supported
+        from volxel_tpu.render.mxu_gather import preferred_pack_dtype
 
-        return mxu_gather_supported()
+        # auto engages only on the int8 MXU path (clear expected win over
+        # the serialized gather at every table size we ship); the bf16
+        # fallback is available via mxu_gather=True but is borderline at
+        # 512^3-scale pyramids, so it needs an explicit opt-in
+        return preferred_pack_dtype() == "int8"
 
     def volume_params(self) -> VolumeParams:
         """bindUniforms volume block (viewer.ts:1324-1345)."""

@@ -145,13 +145,15 @@ def _step_majorant(grid, params, lut, curr, mip_i, envelope: bool):
 COMPACT_DECODE_MIN_LANES = 6144
 
 
-def _ladder_rungs(n: int) -> list[int]:
-    """Static stage widths for the in-loop shrink ladder: n, n/4, n/16...
-    down to ~256 lanes (below that the while_loop's fixed per-iteration
-    cost dominates any width saving)."""
+def _ladder_rungs(n: int, factor: int = 4) -> list[int]:
+    """Static stage widths for the in-loop shrink ladder: n, n/factor,
+    n/factor^2... down to ~256 lanes (below that the while_loop's fixed
+    per-iteration cost dominates any width saving). factor 2 halves the
+    dead-width slack per stage at the cost of more (lazily-sorted)
+    transitions (RenderConfig.ladder_factor)."""
     rungs = [n]
-    while rungs[-1] // 4 >= 256:
-        rungs.append(rungs[-1] // 4)
+    while rungs[-1] // factor >= 256:
+        rungs.append(rungs[-1] // factor)
     return rungs
 
 
@@ -529,7 +531,7 @@ def sample_volume_dda_compact(
     running0 = active & hit_box & (t0 < far)
 
     n = origin.shape[0]
-    rungs = _ladder_rungs(n)
+    rungs = _ladder_rungs(n, int(ladder) if ladder and ladder is not True else 4)
     use_ladder = (
         ladder and not with_stats
         and n >= COMPACT_DECODE_MIN_LANES and len(rungs) > 1
@@ -752,7 +754,7 @@ def transmittance_dda_compact(
     running0 = active & hit_box & (t0 < far)
 
     n = origin.shape[0]
-    rungs = _ladder_rungs(n)
+    rungs = _ladder_rungs(n, int(ladder) if ladder and ladder is not True else 4)
     use_ladder = (
         ladder and not with_stats
         and n >= COMPACT_DECODE_MIN_LANES and len(rungs) > 1
@@ -1092,7 +1094,7 @@ def sample_volume_simple(
     running0 = active & hit_box & (t0 < far)
 
     n = origin.shape[0]
-    rungs = _ladder_rungs(n)
+    rungs = _ladder_rungs(n, int(ladder) if ladder and ladder is not True else 4)
     use_ladder = (
         ladder and not with_stats
         and n >= COMPACT_DECODE_MIN_LANES and len(rungs) > 1
@@ -1261,7 +1263,7 @@ def transmittance_simple(
     running0 = active & hit_box & (t0 < far)
 
     n = origin.shape[0]
-    rungs = _ladder_rungs(n)
+    rungs = _ladder_rungs(n, int(ladder) if ladder and ladder is not True else 4)
     use_ladder = (
         ladder and not with_stats
         and n >= COMPACT_DECODE_MIN_LANES and len(rungs) > 1
@@ -1401,7 +1403,7 @@ def sample_volume_raymarch(grid, params, lut, origin, direction, state, active,
     start = near + xi_j * dt
 
     n = origin.shape[0]
-    rungs = _ladder_rungs(n)
+    rungs = _ladder_rungs(n, int(ladder) if ladder and ladder is not True else 4)
     tau = jnp.zeros((n,), jnp.float32)
     hit = jnp.zeros((n,), jnp.bool_)
     t_out = jnp.zeros((n,), jnp.float32)
@@ -1539,6 +1541,7 @@ def get_mode_functions(
     compact_decode: bool | str = False,
     dda_unroll: int = 1,
     march_ladder: bool = False,
+    ladder_factor: int = 4,
 ):
     """Mode dispatch with the optional physical-transmittance and
     physical-majorant extensions (both default-mode only — the other
@@ -1564,7 +1567,8 @@ def get_mode_functions(
         # fixed-step loop accordingly (transmittance_raymarch keeps its
         # constant-width loop — its entry width is already compacted by
         # the caller's compact_secondary ladder)
-        sample_volume = functools.partial(sample_volume_raymarch, ladder=True)
+        sample_volume = functools.partial(
+            sample_volume_raymarch, ladder=ladder_factor)
     if mode == "no_dda" and (compact_decode or march_ladder):
         # delta/ratio tracking decode the volume EVERY event for every
         # live lane; any truthy compact_decode compacts that decode to
@@ -1574,13 +1578,12 @@ def get_mode_functions(
             "spatial" if compact_decode == "loop-spatial"
             else bool(compact_decode)
         )
+        lad = ladder_factor if march_ladder else False
         sample_volume = functools.partial(
-            sample_volume_simple, compact=simple_compact,
-            ladder=march_ladder,
+            sample_volume_simple, compact=simple_compact, ladder=lad,
         )
         transmittance = functools.partial(
-            transmittance_simple, compact=simple_compact,
-            ladder=march_ladder,
+            transmittance_simple, compact=simple_compact, ladder=lad,
         )
     if mode == "default":
         if compact_decode in (True, "loop", "loop-spatial"):
@@ -1602,18 +1605,20 @@ def get_mode_functions(
             raise ValueError(f"unknown compact_decode: {compact_decode!r}")
         else:
             sv_base, tr_base = sample_volume_dda, transmittance_dda
+        single_sv = (True, "loop", "loop-spatial", "mixed")
+        single_tr = (True, "loop", "loop-spatial")
         if dda_unroll > 1:
             # the single-loop forms have no inner march loop to unroll
-            if compact_decode not in (True, "loop", "mixed"):
+            if compact_decode not in single_sv:
                 sv_base = functools.partial(sv_base, inner_unroll=dda_unroll)
-            if compact_decode not in (True, "loop"):
+            if compact_decode not in single_tr:
                 tr_base = functools.partial(tr_base, inner_unroll=dda_unroll)
         if march_ladder:
             # the shrink ladder exists on the single-loop forms only
-            if compact_decode in (True, "loop", "mixed"):
-                sv_base = functools.partial(sv_base, ladder=True)
-            if compact_decode in (True, "loop"):
-                tr_base = functools.partial(tr_base, ladder=True)
+            if compact_decode in single_sv:
+                sv_base = functools.partial(sv_base, ladder=ladder_factor)
+            if compact_decode in single_tr:
+                tr_base = functools.partial(tr_base, ladder=ladder_factor)
         sample_volume, transmittance = sv_base, tr_base
         if physical_majorant:
             sample_volume = functools.partial(sv_base, majorant_envelope=True)

@@ -171,6 +171,12 @@ class RenderConfig(NamedTuple):
     # real -15% (0.61 vs 0.72 s/sample at 960x540/256^3, 16200-lane
     # chunks — examples/ab_env.py).
     compact_env: bool = True
+    # rung shrink factor for march_ladder: each ladder stage keeps
+    # n/factor lanes. 4 (default) = fewer sort transitions; 2 halves the
+    # dead-width slack per stage — transitions are lazy (sort only when
+    # survivors overflow the prefix) so finer rungs are cheaper than
+    # they were when the ladder shipped (NOTES r7).
+    ladder_factor: int = 4
     # run the DDA march's per-step majorant fetch as a one-hot MXU
     # matmul over the compact premul pyramid (render.mxu_gather) instead
     # of XLA's serialized per-lane gather. Gathered values are BIT-EXACT
@@ -349,6 +355,7 @@ def trace_path(
         compact_decode=config.compact_decode,
         dda_unroll=config.dda_unroll,
         march_ladder=config.march_ladder,
+        ladder_factor=config.ladder_factor,
     )
     n = origin.shape[0]
 
