@@ -47,6 +47,7 @@ def main() -> None:
     print(f"fetch (sync-mode switch): {time.perf_counter() - t0:.1f} s", flush=True)
 
     from volxel_tpu.render.pathtrace import render_sample
+    from volxel_tpu.render.sampling import DeviceGrid, pack_dense_pairs
     from volxel_tpu.scene.environment import EnvState
 
     r, _ = _build_renderer(size, width=width, height=height)
@@ -56,6 +57,10 @@ def main() -> None:
     env_i = next(i for i, o in enumerate(ops) if isinstance(o, EnvState))
     env = ops[env_i]
     env_bare = env._replace(warp_d=None, warp_e=None)
+    grid_i = next(i for i, o in enumerate(ops) if isinstance(o, DeviceGrid))
+    grid_pair = ops[grid_i]._replace(
+        dense_pair=pack_dense_pairs(ops[grid_i].dense)
+    )
 
     arms = {
         "base": (config._replace(mxu_gather=False), env_bare),
@@ -80,26 +85,32 @@ def main() -> None:
         # finer shrink rungs: halve the dead-width slack per ladder stage
         "mxu-ladder2": (
             config._replace(mxu_gather=True, ladder_factor=2), env),
+        # x-pair packed dense: 4 decode gathers instead of 8
+        "mxu-pair": (config._replace(mxu_gather=True), env, grid_pair),
     }
 
-    def run(cfg, e, fi):
+    def run(cfg, e, fi, g=None):
         o = list(ops)
         o[0] = cfg
         o[env_i] = e
+        if g is not None:
+            o[grid_i] = g
         return render_sample(*o, jnp.uint32(fi))
 
     print("== compiling all arms (excluded from timing)", flush=True)
-    for tag, (cfg, e) in arms.items():
+    for tag, arm in arms.items():
+        cfg, e, *g = arm
         t0 = time.perf_counter()
-        run(cfg, e, 77).block_until_ready()
+        run(cfg, e, 77, *g).block_until_ready()
         print(f"  {tag}: first run {time.perf_counter() - t0:.1f} s", flush=True)
 
     times: dict[str, list[float]] = {t: [] for t in arms}
     for p in range(3):
         print(f"== pass {p}", flush=True)
-        for tag, (cfg, e) in arms.items():
+        for tag, arm in arms.items():
+            cfg, e, *g = arm
             t0 = time.perf_counter()
-            run(cfg, e, 100 + p).block_until_ready()
+            run(cfg, e, 100 + p, *g).block_until_ready()
             dt = time.perf_counter() - t0
             times[tag].append(dt)
             print(f"  {tag}: {dt:.3f} s", flush=True)

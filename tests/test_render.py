@@ -664,3 +664,45 @@ def test_tile_chunks_same_estimator(grid):
     }
     np.testing.assert_allclose(mean["tiles"], mean["bands"], atol=0.08)
     assert np.abs(mean["tiles"] - mean["bands"]).mean() < 2e-3
+
+
+def test_pair_decode_bit_identical(grid):
+    """Renderer(pair_decode=True) packs x-adjacent bf16 taps into one
+    uint32 element so the trilinear decode fetches 8 taps with 4
+    serialized gathers (sampling.pack_dense_pairs). Tap values and
+    accumulation order replicate _trilinear_acc exactly, so renders are
+    BIT-identical — including boundary columns, where the pair's high
+    half must not leak (the x1-at-clip(0) select)."""
+    images = {}
+    for flag in (False, True):
+        r = Renderer(width=48, height=48, pair_decode=flag)
+        r.restart_from_grid(grid)
+        r.camera.rotate_around_view(0.5, 0.3)
+        # close zoom: rays graze the AABB so boundary taps are exercised
+        r.camera.zoom(0.6)
+        r.settings.bounces = 2
+        for _ in range(3):
+            r.render_frame()
+        images[flag] = np.asarray(r._framebuffer)
+    np.testing.assert_array_equal(images[True], images[False])
+    # and directly on the lookup, including out-of-volume positions
+    from volxel_tpu.render.sampling import (
+        device_grid_from_brick,
+        lookup_density_trilinear,
+        pack_dense_pairs,
+    )
+
+    dg = device_grid_from_brick(grid)
+    dgp = dg._replace(dense_pair=pack_dense_pairs(dg.dense))
+    r = _renderer(grid, size=8)
+    params = r.volume_params()
+    rng = np.random.default_rng(13)
+    ext = np.asarray(dg.extent, np.float32)
+    pos = jnp.asarray(
+        (rng.random((5000, 3)) * (ext + 6.0) - 3.0).astype(np.float32)
+    )
+    want = np.asarray(lookup_density_trilinear(dg, params, pos))
+    got = np.asarray(lookup_density_trilinear(dgp, params, pos))
+    np.testing.assert_array_equal(
+        got.view(np.uint32), want.view(np.uint32)
+    )

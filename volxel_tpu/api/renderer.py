@@ -66,6 +66,7 @@ class Renderer:
         compact_decode: bool | str = "loop",
         march_ladder: bool = True,
         mxu_gather: bool | str = "auto",
+        pair_decode: bool = False,
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
@@ -95,6 +96,10 @@ class Renderer:
         # (RenderConfig.mxu_gather). Bit-identical values; "auto" = TPU
         # backend only.
         self.mxu_gather = mxu_gather
+        # x-pair packed dense field: the trilinear decode fetches its 8
+        # taps with 4 serialized gathers (sampling.pack_dense_pairs).
+        # Bit-identical; costs a second dense-sized operand in HBM.
+        self.pair_decode = bool(pair_decode)
         self.settings = settings or ViewerSettings()
 
         self.camera = Camera(1.0)
@@ -212,6 +217,14 @@ class Renderer:
         self._device_grid = device_grid_from_brick(
             grid, maj_dtype=self.maj_dtype
         )
+        if self.pair_decode and self._device_grid.dense is not None:
+            import jax
+
+            from volxel_tpu.render.sampling import pack_dense_pairs
+
+            self._device_grid = self._device_grid._replace(
+                dense_pair=jax.jit(pack_dense_pairs)(self._device_grid.dense)
+            )
         self.restart_rendering()
 
     def restart_from_files(self, sources: list) -> None:

@@ -63,6 +63,14 @@ class DeviceGrid(NamedTuple):
     # MXU-gather packing of the transfer LUT (K*4 floats) — the decode
     # and raymarch LUT fetches run on the MXU when present.
     lut_mxu: jax.Array | None = None
+    # x-pair packing of `dense` (pack_dense_pairs): element [z, y, x]
+    # holds bf16(dense[z, y, x]) in the low 16 bits and
+    # bf16(dense[z, y, min(x+1, X-1)]) in the high 16 — the trilinear
+    # decode then fetches its 8 taps with FOUR serialized gathers
+    # instead of eight (XLA TPU prices gathers per ELEMENT, independent
+    # of element size — NOTES.md r5 profile). Costs one extra dense-set
+    # of HBM (u32 vs bf16); opt-in via Renderer(pair_decode=True).
+    dense_pair: jax.Array | None = None
 
 
 # dense fields are built for volumes up to this many bytes (bf16)
@@ -536,10 +544,73 @@ def _trilinear_acc(ipos, tap_fn):
     return acc
 
 
+def pack_dense_pairs(dense: jax.Array) -> jax.Array:
+    """(Z, Y, X) bf16 -> (Z, Y, X) uint32 x-pair packing (see
+    DeviceGrid.dense_pair). Pure elementwise — built once at load."""
+    bits = jax.lax.bitcast_convert_type(dense, jnp.uint16).astype(jnp.uint32)
+    shifted = jnp.concatenate([bits[:, :, 1:], bits[:, :, -1:]], axis=2)
+    return bits | (shifted << jnp.uint32(16))
+
+
+def _pair_halves(pair: jax.Array):
+    """uint32 x-pair -> (f32 low tap, f32 high tap), bit-equal to the
+    dense field's bf16 values cast to f32."""
+    lo = jax.lax.bitcast_convert_type(
+        (pair & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+    )
+    hi = jax.lax.bitcast_convert_type(
+        (pair >> jnp.uint32(16)).astype(jnp.uint16), jnp.bfloat16
+    )
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+
+def _trilinear_pair(grid, params: VolumeParams, ipos):
+    """lookup_density_trilinear via dense_pair: 4 pair gathers for the 8
+    taps, with the exact tap values and accumulation order of
+    _trilinear_acc (bit-identical — pinned by
+    tests/test_render.py::test_pair_decode_bit_identical)."""
+    ext = grid.extent
+    p = ipos - 0.5
+    base = jnp.floor(p).astype(jnp.int32)
+    f = p - base
+    acc = 0.0
+    ux0 = base[..., 0]
+    ux1 = ux0 + 1
+    vx = jnp.clip(ux0, 0, ext[0] - 1)
+    in_x0 = (ux0 >= 0) & (ux0 < ext[0])
+    in_x1 = (ux1 >= 0) & (ux1 < ext[0])
+    # when the base column is left of the volume, clip maps BOTH taps to
+    # column 0, whose value is the pair's LOW half
+    x1_low = ux0 < 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            uy = base[..., 1] + dy
+            uz = base[..., 2] + dz
+            vy = jnp.clip(uy, 0, ext[1] - 1)
+            vz = jnp.clip(uz, 0, ext[2] - 1)
+            in_zy = (uy >= 0) & (uy < ext[1]) & (uz >= 0) & (uz < ext[2])
+            v0, v1 = _pair_halves(grid.dense_pair[vz, vy, vx])
+            t0 = jnp.where(in_zy & in_x0, v0, 0.0)
+            t1 = jnp.where(in_zy & in_x1, jnp.where(x1_low, v0, v1), 0.0)
+            # identical per-tap w expression and accumulation order as
+            # _trilinear_acc: w = ((wx) * (wy)) * (wz), dx innermost
+            acc = acc + t0 * (
+                ((1 - f[..., 0]) * (f[..., 1] if dy else 1 - f[..., 1]))
+                * (f[..., 2] if dz else 1 - f[..., 2])
+            )
+            acc = acc + t1 * (
+                (f[..., 0] * (f[..., 1] if dy else 1 - f[..., 1]))
+                * (f[..., 2] if dz else 1 - f[..., 2])
+            )
+    return params.density_scale * acc
+
+
 def lookup_density_trilinear(grid, params: VolumeParams, ipos):
     """Trilinear filtered scaled density (common.glsl:61-69)."""
     if isinstance(grid, SlabGrid):
         return _slab_density_trilinear(grid, params, ipos)
+    if getattr(grid, "dense_pair", None) is not None:
+        return _trilinear_pair(grid, params, ipos)
     acc = _trilinear_acc(ipos, lambda tap: lookup_density_brick_int(grid, tap))
     return params.density_scale * acc
 
