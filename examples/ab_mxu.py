@@ -1,18 +1,26 @@
-"""Honest sync-mode A/B: MXU one-hot gathers + warp decision tables.
+"""Honest sync-mode A/B: round-8 gather-cost reductions.
 
 Arms (benchmark scene, defaults otherwise — compact_decode="loop",
 march_ladder, tile chunks, premul):
 
-  base      : r7 ship — XLA serial gathers, no warp tables
-  tables    : warp d/e tables (2 serial gathers/level instead of 4)
-  mxu       : tables + MXU one-hot gather for the march majorant fetch,
-              the warp tables, and the envmap bilinear (the shipped
-              "auto" TPU path)
-  mxu-march : MXU majorant fetch only (tables off) — attribution
+  base          : r7 ship — XLA serial gathers, no warp tables
+  tables        : warp d/e tables (2 serial gathers/level instead of 4)
+  mxu           : tables + MXU one-hot gather for the march majorant
+                  fetch, transfer LUT, warp tables, envmap bilinear
+                  (the shipped "auto" TPU path)
+  mxu-march     : MXU majorant fetch only (tables off) — attribution
+  mxu-phase2 /  : decode-structure re-check under the new cost model
+  mxu-mixed       (the r6 single-loop verdict assumed serial marches)
+  mxu-unchunked : chunk-size re-check
+  mxu-spatial   : voxel-order decode compaction sort key
+  mxu-ladder2   : n/2 shrink rungs instead of n/4
+  mxu-pair      : x-pair packed dense — 4 decode gathers instead of 8
 
-All arms are bit-identical by construction (tests/test_mxu_gather.py,
-tests/test_scene.py warp/envmap pins). Protocol: NOTES.md ROUND-5
-DISCOVERY — fetch first, then per-program walls.
+All arms are bit-identical or estimator-exact by construction
+(tests/test_mxu_gather.py, test_scene warp/envmap pins,
+test_pair_decode_bit_identical, ladder/spatial estimator pins).
+Protocol: NOTES.md ROUND-5 DISCOVERY — fetch first, then per-program
+walls.
 
 Usage: python examples/ab_mxu.py [size [width height]]
 """

@@ -706,3 +706,26 @@ def test_pair_decode_bit_identical(grid):
     np.testing.assert_array_equal(
         got.view(np.uint32), want.view(np.uint32)
     )
+
+
+def test_partition_perm_matches_argsort():
+    """modes._partition_perm must produce the EXACT stable-partition
+    permutation of argsort(~mask) and its inverse — every compaction
+    site's bit-identity rests on this equivalence."""
+    from volxel_tpu.render.modes import _inverse_perm, _partition_perm
+
+    rng = np.random.default_rng(17)
+    for n in (1, 7, 256, 4096):
+        for p in (0.0, 0.03, 0.5, 0.97, 1.0):
+            mask = jnp.asarray(rng.random(n) < p)
+            order, inv = _partition_perm(mask)
+            want_order = np.argsort(~np.asarray(mask), kind="stable")
+            np.testing.assert_array_equal(np.asarray(order), want_order)
+            np.testing.assert_array_equal(
+                np.asarray(inv), np.argsort(want_order, kind="stable")
+            )
+            perm = rng.permutation(n).astype(np.int32)
+            np.testing.assert_array_equal(
+                np.asarray(_inverse_perm(jnp.asarray(perm))),
+                np.argsort(perm, kind="stable"),
+            )

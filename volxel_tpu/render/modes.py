@@ -157,6 +157,30 @@ def _ladder_rungs(n: int, factor: int = 4) -> list[int]:
     return rungs
 
 
+def _partition_perm(mask):
+    """(order, inv) of the stable mask-first partition — the IDENTICAL
+    permutation to order = argsort(~mask, stable), inv = argsort(order),
+    built from ONE cumsum + one scatter instead of two sorts (XLA TPU
+    sorts cost ~2.9 ms/131k lanes vs cumsum 1.9 — NOTES r5 profile;
+    every compaction site pays this every engagement)."""
+    n = mask.shape[0]
+    c = jnp.cumsum(mask.astype(jnp.int32))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    inv = jnp.where(mask, c - 1, c[-1] + iota - c)
+    order = jnp.zeros((n,), jnp.int32).at[inv].set(iota, unique_indices=True)
+    return order, inv
+
+
+def _inverse_perm(perm):
+    """Inverse permutation by scatter — cheaper than argsort(perm)."""
+    n = perm.shape[0]
+    return (
+        jnp.zeros((n,), jnp.int32)
+        .at[perm]
+        .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    )
+
+
 def _decode_rgba(grid, params, lut, pos):
     """Collision-point density decode: trilinear + transfer LUT (the
     9-gather chain of dda.glsl:81-83)."""
@@ -212,9 +236,9 @@ def _compact_decode_rgba(grid, params, lut, pos, live, spatial: bool = False):
             ) * grid.extent[0] + base[..., 0]
             key = jnp.where(live, flat, jnp.int32(1 << 30))
             order = jnp.argsort(key, stable=True)
+            inv = _inverse_perm(order)
         else:
-            order = jnp.argsort(~live, stable=True)  # live lanes first
-        inv = jnp.argsort(order, stable=True)
+            order, inv = _partition_perm(live)  # live lanes first
         pos_p = pos[order]
         cnt = jnp.sum(live)
 
@@ -603,7 +627,7 @@ def sample_volume_dda_compact(
 
         def _sorted(_, running=running, state=state, fpack=fpack,
                     bpack=bpack, idx=idx):
-            order = jnp.argsort(~running, stable=True)  # running first
+            order, _ = _partition_perm(running)  # running first
             return state[order], fpack[order], bpack[order], idx[order]
 
         def _unsorted(_, state=state, fpack=fpack, bpack=bpack, idx=idx):
@@ -638,7 +662,7 @@ def sample_volume_dda_compact(
     )  # (n, 5): t, rgb[3], hit
 
     def _unsort(_):
-        inv = jnp.argsort(idx_all)
+        inv = _inverse_perm(idx_all)
         return state_all[inv], opack[inv]
 
     def _keep(_):
@@ -815,7 +839,7 @@ def transmittance_dda_compact(
         )  # (w, 11): t, tau, mip, tr, ipos[3], idir[3], far
 
         def _sorted(_, running=running, state=state, fpack=fpack, idx=idx):
-            order = jnp.argsort(~running, stable=True)
+            order, _ = _partition_perm(running)
             return state[order], fpack[order], running[order], idx[order]
 
         def _unsorted(_, running=running, state=state, fpack=fpack, idx=idx):
@@ -835,7 +859,7 @@ def transmittance_dda_compact(
     tr_all = jnp.concatenate([tr] + [s[2] for s in reversed(suffixes)])
 
     def _unsort(_):
-        inv = jnp.argsort(idx_all)
+        inv = _inverse_perm(idx_all)
         return state_all[inv], tr_all[inv]
 
     def _keep(_):
@@ -1153,7 +1177,7 @@ def sample_volume_simple(
 
         def _sorted(_, running=running, state=state, fpack=fpack,
                     bpack=bpack, idx=idx):
-            order = jnp.argsort(~running, stable=True)
+            order, _ = _partition_perm(running)
             return state[order], fpack[order], bpack[order], idx[order]
 
         def _unsorted(_, state=state, fpack=fpack, bpack=bpack, idx=idx):
@@ -1181,7 +1205,7 @@ def sample_volume_simple(
     )  # (n, 5): t, rgb[3], hit
 
     def _unsort(_):
-        inv = jnp.argsort(idx_all)
+        inv = _inverse_perm(idx_all)
         return state_all[inv], opack[inv]
 
     def _keep(_):
@@ -1311,7 +1335,7 @@ def transmittance_simple(
         )  # (w, 9): t, tr, ipos[3], idir[3], far
 
         def _sorted(_, running=running, state=state, fpack=fpack, idx=idx):
-            order = jnp.argsort(~running, stable=True)
+            order, _ = _partition_perm(running)
             return state[order], fpack[order], running[order], idx[order]
 
         def _unsorted(_, running=running, state=state, fpack=fpack, idx=idx):
@@ -1330,7 +1354,7 @@ def transmittance_simple(
     tr_all = jnp.concatenate([tr] + [s[2] for s in reversed(suffixes)])
 
     def _unsort(_):
-        inv = jnp.argsort(idx_all)
+        inv = _inverse_perm(idx_all)
         return state_all[inv], tr_all[inv]
 
     def _keep(_):
@@ -1457,7 +1481,7 @@ def sample_volume_raymarch(grid, params, lut, origin, direction, state, active,
 
         def _sorted(_, marching=marching, state=state, fpack=fpack,
                     bpack=bpack, idx=idx):
-            order = jnp.argsort(~marching, stable=True)
+            order, _ = _partition_perm(marching)
             return state[order], fpack[order], bpack[order], idx[order]
 
         def _unsorted(_, state=state, fpack=fpack, bpack=bpack, idx=idx):
@@ -1488,7 +1512,7 @@ def sample_volume_raymarch(grid, params, lut, origin, direction, state, active,
     )  # (n, 5): t_out, rgb[3], hit
 
     def _unsort(_):
-        inv = jnp.argsort(idx_all)
+        inv = _inverse_perm(idx_all)
         return state_all[inv], opack[inv]
 
     def _keep(_):

@@ -234,8 +234,9 @@ def _compacted_secondary(fn, n_fill, valid, lane_arrays, fill_values):
     passed through untouched and needs no fill).
     """
     n = valid.shape[0]
-    order = jnp.argsort(~valid, stable=True)  # live lanes first
-    inv = jnp.argsort(order, stable=True)
+    from volxel_tpu.render.modes import _partition_perm
+
+    order, inv = _partition_perm(valid)  # live lanes first
     perm = [a[order] for a in lane_arrays]
     v_p = valid[order]
     cnt = jnp.sum(valid)
@@ -292,8 +293,9 @@ def _compact_apply(fn, live, arrays, fill_values):
     only keep shapes total. Same ulp realization contract as
     modes._compact_decode_rgba."""
     n = live.shape[0]
-    order = jnp.argsort(~live, stable=True)
-    inv = jnp.argsort(order, stable=True)
+    from volxel_tpu.render.modes import _partition_perm
+
+    order, inv = _partition_perm(live)
     perm = [a[order] for a in arrays]
     cnt = jnp.sum(live)
 
