@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from volxel_tpu.render.modes import get_mode_functions
+from volxel_tpu.render.modes import _partition_perm, get_mode_functions
 from volxel_tpu.render.rays import (
     Rays,
     camera_rays,
@@ -234,8 +234,6 @@ def _compacted_secondary(fn, n_fill, valid, lane_arrays, fill_values):
     passed through untouched and needs no fill).
     """
     n = valid.shape[0]
-    from volxel_tpu.render.modes import _partition_perm
-
     order, inv = _partition_perm(valid)  # live lanes first
     perm = [a[order] for a in lane_arrays]
     v_p = valid[order]
@@ -293,8 +291,6 @@ def _compact_apply(fn, live, arrays, fill_values):
     only keep shapes total. Same ulp realization contract as
     modes._compact_decode_rgba."""
     n = live.shape[0]
-    from volxel_tpu.render.modes import _partition_perm
-
     order, inv = _partition_perm(live)
     perm = [a[order] for a in arrays]
     cnt = jnp.sum(live)
