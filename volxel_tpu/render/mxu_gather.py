@@ -148,31 +148,42 @@ def _mxu_gather_call(table, idx2, block: int, interpret: bool):
     )(idx2, table)
 
 
-@functools.lru_cache(maxsize=1)
+_PROBE_CACHE: list = []
+
+
 def preferred_pack_dtype() -> str | None:
     """One-shot hardware probe: the fastest packing whose kernel compiles
     AND returns bit-exact values on this backend (int8 MXU dots are 2x
     bf16 throughput on v5e; some Mosaic versions may lack int8 dot
-    lowering). None = neither works — don't use the MXU path."""
+    lowering). None = neither works — don't use the MXU path.
+
+    The probe needs a real device round-trip, so it can only run OUTSIDE
+    a trace (Renderer resolves mxu_gather="auto" host-side, which primes
+    the cache). Reached mid-trace before any host-side probe — only
+    possible when mxu was explicitly forced — it returns the preferred
+    packing without probing and without poisoning the cache."""
+    if _PROBE_CACHE:
+        return _PROBE_CACHE[0]
     import numpy as np
 
-    # the probe may be reached from INSIDE a jit trace (pack_gather_table
-    # runs in-graph at render trace time); ensure_compile_time_eval makes
-    # its tiny arrays concrete so the device round-trip works there too
-    with jax.ensure_compile_time_eval():
-        flat = jnp.arange(300, dtype=jnp.float32) * 1.7 - 250.0
-        want = np.asarray(flat[::-1]).view(np.uint32)
-        for dtype in ("int8", "bfloat16"):
-            try:
-                got = mxu_gather_f32(
-                    pack_gather_table(flat, dtype),
-                    jnp.arange(300, dtype=jnp.int32)[::-1],
-                )
-                if np.array_equal(np.asarray(got).view(np.uint32), want):
-                    return dtype
-            except Exception:  # noqa: BLE001 — try the next packing
-                continue
-        return None
+    if isinstance(jnp.zeros((), jnp.float32), jax.core.Tracer):
+        return "int8"
+    result = None
+    flat = jnp.arange(300, dtype=jnp.float32) * 1.7 - 250.0
+    want = np.asarray(flat[::-1]).view(np.uint32)
+    for dtype in ("int8", "bfloat16"):
+        try:
+            got = mxu_gather_f32(
+                pack_gather_table(flat, dtype),
+                jnp.arange(300, dtype=jnp.int32)[::-1],
+            )
+            if np.array_equal(np.asarray(got).view(np.uint32), want):
+                result = dtype
+                break
+        except Exception:  # noqa: BLE001 — try the next packing
+            continue
+    _PROBE_CACHE.append(result)
+    return result
 
 
 def mxu_gather_supported() -> bool:
