@@ -46,8 +46,10 @@ def chained(op, k):
             idx_c, acc = carry
             v = op(table, idx_c)
             # make the next iteration's indices depend on v without
-            # changing them (v*0): data dependence defeats CSE
-            return (idx_c + v.astype(jnp.int32) * 0, acc + v[0])
+            # changing them (scalar * 0): data dependence defeats CSE,
+            # and a scalar broadcasts against any index shape
+            vf = v.reshape(-1)[0].astype(jnp.float32)
+            return (idx_c + (vf * 0).astype(idx_c.dtype), acc + vf)
 
         _, acc = jax.lax.fori_loop(0, k, body, (idx, jnp.float32(0.0)))
         return acc
