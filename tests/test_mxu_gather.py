@@ -141,8 +141,9 @@ def test_render_bit_identical_with_mxu_gather(grid, mode):
 
 
 def test_auto_is_off_on_cpu(grid):
-    """mxu_gather='auto' must not engage on the CPU backend (the Pallas
-    kernel would run interpreted inside every march iteration)."""
+    """mxu_gather='auto' must resolve OFF (measured loss on the chip —
+    examples/ab_mxu.py r9 — and on CPU the Pallas kernel would run
+    interpreted inside every march iteration)."""
     from volxel_tpu.render.pathtrace import _mxu_gather_engaged
     from volxel_tpu.render.sampling import device_grid_from_brick
 

@@ -66,7 +66,7 @@ class Renderer:
         compact_decode: bool | str = "loop",
         march_ladder: bool = True,
         mxu_gather: bool | str = "auto",
-        pair_decode: bool = False,
+        pair_decode: bool = True,
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
@@ -93,12 +93,17 @@ class Renderer:
         # terminate. Same ulp realization contract as compact_decode.
         self.march_ladder = bool(march_ladder)
         # one-hot MXU matmul for the march's majorant fetch
-        # (RenderConfig.mxu_gather). Bit-identical values; "auto" = TPU
-        # backend only.
+        # (RenderConfig.mxu_gather). Bit-identical values — but a
+        # MEASURED LOSS on the chip (+5.3% vs the warp-table baseline,
+        # examples/ab_mxu.py r9: the pallas_call + N*T MAC cost inside
+        # the while_loop body exceeds the serialized gather at shipped
+        # table sizes), so "auto" resolves to OFF; True forces it on.
         self.mxu_gather = mxu_gather
         # x-pair packed dense field: the trilinear decode fetches its 8
         # taps with 4 serialized gathers (sampling.pack_dense_pairs).
         # Bit-identical; costs a second dense-sized operand in HBM.
+        # Honest sync-mode A/B: -15.8% frame time (examples/ab_mxu.py
+        # r9, 960x540/256^3), so default ON.
         self.pair_decode = bool(pair_decode)
         self.settings = settings or ViewerSettings()
 
@@ -389,22 +394,20 @@ class Renderer:
         )
 
     def _resolve_mxu_gather(self) -> bool:
-        """Resolve mxu_gather="auto" to a concrete bool: TPU backend AND
-        the kernel probe passes (a Mosaic lowering gap must degrade to
-        the XLA gather, not fail every render)."""
+        """Resolve mxu_gather="auto" to a concrete bool.
+
+        "auto" is OFF: the honest sync-mode chip A/B (examples/ab_mxu.py
+        r9, 960x540/256^3, 3 passes reproducible to <1%) measured the
+        MXU one-hot gather a LOSS at every shipped site — march majorant
+        alone +2.1%, all sites +5.3% vs the warp-table baseline. The
+        per-iteration pallas_call + N*T one-hot MACs inside the
+        while_loop body cost more than XLA's serialized per-lane gather
+        at VMEM-small table sizes. The kernel stays available
+        (mxu_gather=True) for table/width regimes where the tradeoff
+        could flip, and remains bit-exact by construction."""
         if self.mxu_gather != "auto":
             return bool(self.mxu_gather)
-        import jax
-
-        if jax.default_backend() != "tpu":
-            return False
-        from volxel_tpu.render.mxu_gather import preferred_pack_dtype
-
-        # auto engages only on the int8 MXU path (clear expected win over
-        # the serialized gather at every table size we ship); the bf16
-        # fallback is available via mxu_gather=True but is borderline at
-        # 512^3-scale pyramids, so it needs an explicit opt-in
-        return preferred_pack_dtype() == "int8"
+        return False
 
     def volume_params(self) -> VolumeParams:
         """bindUniforms volume block (viewer.ts:1324-1345)."""

@@ -157,6 +157,50 @@ def _ladder_rungs(n: int, factor: int = 4) -> list[int]:
     return rungs
 
 
+# finest compaction rung divisor (width floor n/COMPACT_FINEST): trace-time
+# default shared by every cond-ladder compaction site (decode, secondary
+# traversal, env) when no finest is threaded in. The r9 chip A/B measured
+# rung depth a WASH (examples/ab_rungs.py — the march ladder narrows the
+# wavefront first), so this stays at r6's 8; RenderConfig.compact_finest
+# overrides per render.
+COMPACT_FINEST = 8
+
+
+def _compact_widths(
+    n: int, finest: int | None = None, floor: int = 256
+) -> list[int]:
+    """Increasing cond-ladder widths n//finest, ..., n//2 (each >= floor;
+    the full width n is the caller's fallback rung). r6 shipped a fixed
+    n/8 floor; the r8 decode-set probe measured per-iteration live
+    fractions around 4%, and the r9 march-kernel probe showed gather cost
+    ~6.5 ns/lane/element at any width — so an n/8 floor leaves 3-6x dead
+    width on the table whenever the live count sits below it."""
+    widths = []
+    d = COMPACT_FINEST if finest is None else finest
+    while d >= 2:
+        w = n // d
+        if w >= floor and (not widths or w > widths[-1]):
+            widths.append(w)
+        d //= 2
+    return widths
+
+
+def _width_ladder(cnt, widths, case_at, full_case, operand):
+    """Nested runtime lax.cond picking the NARROWEST rung admitting all
+    `cnt` live lanes: generalizes the hand-rolled /8 /4 /2 nests to the
+    _compact_widths rungs. case_at(width) -> fn(operand); full_case runs
+    the uncompacted width."""
+
+    def build(i):
+        if i == len(widths):
+            return full_case
+        return lambda op: jax.lax.cond(
+            cnt <= widths[i], case_at(widths[i]), build(i + 1), op
+        )
+
+    return build(0)(operand)
+
+
 def _partition_perm(mask):
     """(order, inv) of the stable mask-first partition — the IDENTICAL
     permutation to order = argsort(~mask, stable), inv = argsort(order),
@@ -192,14 +236,18 @@ def _decode_rgba(grid, params, lut, pos):
     )
 
 
-def _compact_decode_rgba(grid, params, lut, pos, live, spatial: bool = False):
+def _compact_decode_rgba(
+    grid, params, lut, pos, live, spatial: bool = False,
+    finest: int | None = None,
+):
     """_decode_rgba evaluated only (approximately) for `live` lanes.
 
     XLA TPU lowers the per-lane volume gathers to serialized ~27-50
     ns/element accesses (NOTES.md r5 real profile), so decode cost is
     proportional to WIDTH, not work masked: sorting live lanes to a
-    prefix and decoding at the narrowest sufficient width (n/8, n/4,
-    n/2, n — runtime lax.cond ladder) makes the per-iteration collision
+    prefix and decoding at the narrowest sufficient width (the
+    _compact_widths rungs — runtime lax.cond ladder) makes the
+    per-iteration collision
     decode cost track the collided fraction instead of the wavefront
     width. Iterations with no collisions skip everything (one
     any-reduce).
@@ -251,18 +299,8 @@ def _compact_decode_rgba(grid, params, lut, pos, live, spatial: bool = False):
 
             return f
 
-        rgba_p = jax.lax.cond(
-            cnt * 8 <= n,
-            decode_at(n // 8),
-            lambda _: jax.lax.cond(
-                cnt * 4 <= n,
-                decode_at(n // 4),
-                lambda __: jax.lax.cond(
-                    cnt * 2 <= n, decode_at(n // 2), decode_at(n), __
-                ),
-                _,
-            ),
-            0,
+        rgba_p = _width_ladder(
+            cnt, _compact_widths(n, finest), decode_at, decode_at(n), 0
         )
         return rgba_p[inv]
 
@@ -450,7 +488,7 @@ def sample_volume_dda(
 
 def _sample_compact_loop(
     grid, params, lut, ipos, idir, far, next_w, majorant_envelope, with_stats,
-    spatial=False,
+    spatial=False, finest=None,
 ):
     """cond/body for sample_volume_dda_compact's march while_loop at one
     width. next_w (a narrower ladder rung) adds the shrink-ladder handoff
@@ -493,7 +531,8 @@ def _sample_compact_loop(
 
         # collision decode, compacted to the collided lanes
         rgba = _compact_decode_rgba(
-            grid, params, lut, ipos + t[..., None] * idir, live, spatial
+            grid, params, lut, ipos + t[..., None] * idir, live, spatial,
+            finest,
         )
         d = params.vol_maj * rgba[..., 3]
         state, xi1 = rng_where(live, state)
@@ -519,6 +558,7 @@ def sample_volume_dda_compact(
     grid, params, lut, origin, direction, state, active,
     majorant_envelope: bool = False, with_stats: bool = False,
     ladder: bool = False, spatial_decode: bool = False,
+    finest: int | None = None,
 ):
     """Single-loop DDA distance sampling with a COMPACTED collision decode.
 
@@ -563,7 +603,7 @@ def sample_volume_dda_compact(
     if not use_ladder:
         cond, body = _sample_compact_loop(
             grid, params, lut, ipos, idir, far, None, majorant_envelope,
-            with_stats, spatial_decode,
+            with_stats, spatial_decode, finest,
         )
         init = (
             state,
@@ -605,7 +645,7 @@ def sample_volume_dda_compact(
         next_w = rungs[si + 1] if si + 1 < len(rungs) else None
         cond, body = _sample_compact_loop(
             grid, params, lut, ip, idr, fr, next_w, majorant_envelope, False,
-            spatial_decode,
+            spatial_decode, finest,
         )
         state, t, tau, mip, running, hit, rgb, it = jax.lax.while_loop(
             cond, body, (state, t, tau, mip, running, hit, rgb, it)
@@ -675,7 +715,7 @@ def sample_volume_dda_compact(
 
 def _transmittance_compact_loop(
     grid, params, lut, ipos, idir, far, next_w, physical,
-    majorant_envelope, with_stats, spatial=False,
+    majorant_envelope, with_stats, spatial=False, finest=None,
 ):
     """cond/body for transmittance_dda_compact's while_loop at one width
     (next_w: shrink-ladder handoff exit, as in _sample_compact_loop)."""
@@ -716,7 +756,8 @@ def _transmittance_compact_loop(
         )
 
         rgba = _compact_decode_rgba(
-            grid, params, lut, ipos + t[..., None] * idir, check, spatial
+            grid, params, lut, ipos + t[..., None] * idir, check, spatial,
+            finest,
         )
         d = params.vol_maj * rgba[..., 3]
         state, xi1 = rng_where(check, state)
@@ -762,6 +803,7 @@ def transmittance_dda_compact(
     with_stats: bool = False,
     ladder: bool = False,
     spatial_decode: bool = False,
+    finest: int | None = None,
 ):
     """Single-loop transmittance with a compacted collision decode —
     sample_volume_dda_compact's counterpart of transmittance_dda (same
@@ -786,7 +828,7 @@ def transmittance_dda_compact(
     if not use_ladder:
         cond, body = _transmittance_compact_loop(
             grid, params, lut, ipos, idir, far, None, physical,
-            majorant_envelope, with_stats, spatial_decode,
+            majorant_envelope, with_stats, spatial_decode, finest,
         )
         init = (
             state,
@@ -819,7 +861,7 @@ def transmittance_dda_compact(
         next_w = rungs[si + 1] if si + 1 < len(rungs) else None
         cond, body = _transmittance_compact_loop(
             grid, params, lut, ip, idr, fr, next_w, physical,
-            majorant_envelope, False, spatial_decode,
+            majorant_envelope, False, spatial_decode, finest,
         )
         state, t, tau, mip, running, tr, it = jax.lax.while_loop(
             cond, body, (state, t, tau, mip, running, tr, it)
@@ -1044,7 +1086,8 @@ def transmittance_dda(
 
 
 def _simple_sample_loop(
-    grid, params, lut, ipos, idir, far, next_w, compact, with_stats
+    grid, params, lut, ipos, idir, far, next_w, compact, with_stats,
+    finest=None,
 ):
     """cond/body for sample_volume_simple's event while_loop at one width
     (next_w: shrink-ladder handoff, as in _sample_compact_loop)."""
@@ -1065,7 +1108,8 @@ def _simple_sample_loop(
         pos = ipos + t[..., None] * idir
         if compact:
             rgba = _compact_decode_rgba(
-                grid, params, lut, pos, running, compact == "spatial"
+                grid, params, lut, pos, running, compact == "spatial",
+                finest,
             )
         else:
             rgba = lookup_transfer(
@@ -1099,6 +1143,7 @@ def _simple_sample_loop(
 def sample_volume_simple(
     grid, params, lut, origin, direction, state, active,
     with_stats: bool = False, compact: bool = False, ladder: bool = False,
+    finest: int | None = None,
 ):
     """Delta tracking (normal.glsl:36-55). compact routes the per-event
     9-gather density decode through _compact_decode_rgba for the running
@@ -1125,7 +1170,8 @@ def sample_volume_simple(
     )
     if not use_ladder:
         cond, body = _simple_sample_loop(
-            grid, params, lut, ipos, idir, far, None, compact, with_stats
+            grid, params, lut, ipos, idir, far, None, compact, with_stats,
+            finest,
         )
         init = (
             state,
@@ -1157,7 +1203,7 @@ def sample_volume_simple(
     for si, w in enumerate(rungs):
         next_w = rungs[si + 1] if si + 1 < len(rungs) else None
         cond, body = _simple_sample_loop(
-            grid, params, lut, ip, idr, fr, next_w, compact, False
+            grid, params, lut, ip, idr, fr, next_w, compact, False, finest,
         )
         state, t, running, hit, rgb, it = jax.lax.while_loop(
             cond, body, (state, t, running, hit, rgb, it)
@@ -1217,7 +1263,8 @@ def sample_volume_simple(
 
 
 def _simple_transmittance_loop(
-    grid, params, lut, ipos, idir, far, next_w, compact, with_stats
+    grid, params, lut, ipos, idir, far, next_w, compact, with_stats,
+    finest=None,
 ):
     """cond/body for transmittance_simple's event while_loop at one width
     (next_w: shrink-ladder handoff)."""
@@ -1238,7 +1285,8 @@ def _simple_transmittance_loop(
         pos = ipos + t[..., None] * idir
         if compact:
             rgba = _compact_decode_rgba(
-                grid, params, lut, pos, running, compact == "spatial"
+                grid, params, lut, pos, running, compact == "spatial",
+                finest,
             )
         else:
             rgba = lookup_transfer(
@@ -1274,6 +1322,7 @@ def _simple_transmittance_loop(
 def transmittance_simple(
     grid, params, lut, origin, direction, state, active,
     with_stats: bool = False, compact: bool = False, ladder: bool = False,
+    finest: int | None = None,
 ):
     """Ratio-tracking transmittance (normal.glsl:8-33); compact and
     ladder as in sample_volume_simple."""
@@ -1294,7 +1343,8 @@ def transmittance_simple(
     )
     if not use_ladder:
         cond, body = _simple_transmittance_loop(
-            grid, params, lut, ipos, idir, far, None, compact, with_stats
+            grid, params, lut, ipos, idir, far, None, compact, with_stats,
+            finest,
         )
         init = (state, t0, running0, jnp.ones((n,), jnp.float32), jnp.int32(0))
         if with_stats:
@@ -1317,7 +1367,7 @@ def transmittance_simple(
     for si, w in enumerate(rungs):
         next_w = rungs[si + 1] if si + 1 < len(rungs) else None
         cond, body = _simple_transmittance_loop(
-            grid, params, lut, ip, idr, fr, next_w, compact, False
+            grid, params, lut, ip, idr, fr, next_w, compact, False, finest,
         )
         state, t, running, tr, it = jax.lax.while_loop(
             cond, body, (state, t, running, tr, it)
@@ -1566,6 +1616,7 @@ def get_mode_functions(
     dda_unroll: int = 1,
     march_ladder: bool = False,
     ladder_factor: int = 4,
+    compact_finest: int | None = None,
 ):
     """Mode dispatch with the optional physical-transmittance and
     physical-majorant extensions (both default-mode only — the other
@@ -1605,9 +1656,11 @@ def get_mode_functions(
         lad = ladder_factor if march_ladder else False
         sample_volume = functools.partial(
             sample_volume_simple, compact=simple_compact, ladder=lad,
+            finest=compact_finest,
         )
         transmittance = functools.partial(
             transmittance_simple, compact=simple_compact, ladder=lad,
+            finest=compact_finest,
         )
     if mode == "default":
         if compact_decode in (True, "loop", "loop-spatial"):
@@ -1616,11 +1669,14 @@ def get_mode_functions(
             # gathers then walk the dense field near-sequentially
             spatial = compact_decode == "loop-spatial"
             sv_base = functools.partial(
-                sample_volume_dda_compact, spatial_decode=spatial)
+                sample_volume_dda_compact, spatial_decode=spatial,
+                finest=compact_finest)
             tr_base = functools.partial(
-                transmittance_dda_compact, spatial_decode=spatial)
+                transmittance_dda_compact, spatial_decode=spatial,
+                finest=compact_finest)
         elif compact_decode == "mixed":
-            sv_base = sample_volume_dda_compact
+            sv_base = functools.partial(
+                sample_volume_dda_compact, finest=compact_finest)
             tr_base = functools.partial(transmittance_dda, compact_phase2=True)
         elif compact_decode == "phase2":
             sv_base = functools.partial(sample_volume_dda, compact_phase2=True)

@@ -19,7 +19,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from volxel_tpu.render.modes import _partition_perm, get_mode_functions
+from volxel_tpu.render.modes import (
+    _compact_widths,
+    _partition_perm,
+    _width_ladder,
+    get_mode_functions,
+)
 from volxel_tpu.render.rays import (
     Rays,
     camera_rays,
@@ -177,15 +182,28 @@ class RenderConfig(NamedTuple):
     # survivors overflow the prefix) so finer rungs are cheaper than
     # they were when the ladder shipped (NOTES r7).
     ladder_factor: int = 4
+    # finest compaction rung divisor shared by every cond-ladder
+    # compaction site (collision decode, secondary traversal, env
+    # warp/lookup): widths n/compact_finest .. n/2, n, each >= 256
+    # lanes (modes._compact_widths). The r9 chip A/B
+    # (examples/ab_rungs.py: finest 8/16/32/64 all within 0.5% at
+    # 960x540/256^3) measured rung depth a WASH — the march ladder has
+    # already narrowed the wavefront before these sites see it — so the
+    # default stays at r6's 8 (deeper rungs cost ~2x compile for no
+    # runtime win). Same ulp realization contract as compact_decode.
+    compact_finest: int = 8
     # run the DDA march's per-step majorant fetch as a one-hot MXU
     # matmul over the compact premul pyramid (render.mxu_gather) instead
     # of XLA's serialized per-lane gather. Gathered values are BIT-EXACT
     # (byte-plane decomposition — see mxu_gather module docstring), so
-    # renders are bit-identical either way. "auto" engages on the TPU
-    # backend when premul_majorant is on and the compact pyramid fits
-    # the MXU budget; True forces it (CPU runs the kernel interpreted —
-    # tests only); False disables.
-    mxu_gather: bool | str = "auto"
+    # renders are bit-identical either way. Default OFF: the honest
+    # chip A/B measured it a LOSS at shipped table sizes (+5.3% all
+    # sites, +2.1% march-only — examples/ab_mxu.py r9; the per-iteration
+    # pallas_call + N*T MACs cost more than the serialized gather).
+    # "auto" engages on the TPU backend when premul_majorant is on and
+    # the compact pyramid fits the MXU budget; True forces it (CPU runs
+    # the kernel interpreted — tests only).
+    mxu_gather: bool | str = False
 
 
 def _mxu_on(config) -> bool:
@@ -220,9 +238,11 @@ def _mxu_gather_engaged(config, grid) -> bool:
 COMPACT_MIN_LANES = 6144
 
 
-def _compacted_secondary(fn, n_fill, valid, lane_arrays, fill_values):
+def _compacted_secondary(fn, n_fill, valid, lane_arrays, fill_values,
+                         finest=None):
     """Run `fn(*lane_arrays_prefix, valid_prefix)` at the narrowest
-    sufficient width (n/8, n/4, n/2, n — runtime lax.cond ladder, same
+    sufficient width (the _compact_widths rungs — runtime
+    lax.cond ladder, same
     shape as modes._compact_decode_rgba). Lanes are stable-sorted so live
     ones form a prefix; outputs are scattered back to lane order. The
     traversal loop's real cost is proportional to WIDTH (serialized
@@ -265,25 +285,16 @@ def _compacted_secondary(fn, n_fill, valid, lane_arrays, fill_values):
         arrs, v = args
         return fn(*arrs, v)
 
-    out = jax.lax.cond(
-        cnt * 8 <= n,
-        narrow_case(n // 8),
-        lambda a: jax.lax.cond(
-            cnt * 4 <= n,
-            narrow_case(n // 4),
-            lambda b: jax.lax.cond(
-                cnt * 2 <= n, narrow_case(n // 2), full_case, b
-            ),
-            a,
-        ),
-        (perm, v_p),
+    out = _width_ladder(
+        cnt, _compact_widths(n, finest), narrow_case, full_case, (perm, v_p)
     )
     return tuple(o[inv] for o in out)
 
 
-def _compact_apply(fn, live, arrays, fill_values):
+def _compact_apply(fn, live, arrays, fill_values, finest=None):
     """Evaluate the per-lane `fn(*arrays)` at the narrowest sufficient
-    ladder width (n/8, n/4, n/2, n — runtime lax.cond), with `live` lanes
+    ladder width (the _compact_widths rungs — runtime lax.cond),
+    with `live` lanes
     sorted to a prefix; dead-lane outputs take `fill_values`. For
     gather-heavy per-lane ops (environment warp/pdf/lookup) whose real
     cost is proportional to width (NOTES.md r5 serialized-gather model).
@@ -318,18 +329,8 @@ def _compact_apply(fn, live, arrays, fill_values):
         out = fn(*arrs)
         return out if isinstance(out, tuple) else (out,)
 
-    out = jax.lax.cond(
-        cnt * 8 <= n,
-        narrow_case(n // 8),
-        lambda a: jax.lax.cond(
-            cnt * 4 <= n,
-            narrow_case(n // 4),
-            lambda b: jax.lax.cond(
-                cnt * 2 <= n, narrow_case(n // 2), full_case, b
-            ),
-            a,
-        ),
-        perm,
+    out = _width_ladder(
+        cnt, _compact_widths(n, finest), narrow_case, full_case, perm
     )
     return tuple(o[inv] for o in out)
 
@@ -354,6 +355,7 @@ def trace_path(
         dda_unroll=config.dda_unroll,
         march_ladder=config.march_ladder,
         ladder_factor=config.ladder_factor,
+        compact_finest=config.compact_finest,
     )
     n = origin.shape[0]
 
@@ -377,6 +379,7 @@ def trace_path(
                 active,
                 (origin, direction, state),
                 (False, 0.0, 1.0, 0.0),
+                finest=config.compact_finest,
             )
         else:
             state, hit, t, rgb, le_add = sample_volume(
@@ -397,6 +400,7 @@ def trace_path(
                     miss,
                     (direction,),
                     (0.0, 0.0),
+                    finest=config.compact_finest,
                 )
             else:
                 le = env_radiance(direction)
@@ -431,6 +435,7 @@ def trace_path(
                     active,
                     (xi2,),
                     (0.0, 0.0, 0.0),
+                    finest=config.compact_finest,
                 )
             else:
                 le_nee, pdf_nee, w_i = sample_environment(
@@ -455,6 +460,7 @@ def trace_path(
                 valid_nee,
                 (origin, w_i, state),
                 (0.0,),
+                finest=config.compact_finest,
             )
         else:
             state, tr = transmittance(
