@@ -21,6 +21,7 @@ Usage: python examples/profile_real6.py [size [width height]]
 
 from __future__ import annotations
 
+import functools
 import os
 import sys as _sys
 import time
@@ -111,8 +112,11 @@ def main() -> None:
         chunk -= 1
 
     def loop_only(which):
-        @jax.jit
-        def f(fi):
+        # big operands are jit ARGUMENTS (closure constants embed the
+        # dense field in the program -> tunnel remote-compile HTTP 413,
+        # the BENCH_r02 post-mortem invariant)
+        @functools.partial(jax.jit, static_argnums=())
+        def f(grid, params, lut, env, inv_view, inv_proj, fi):
             pixel_index = jnp.arange(n, dtype=jnp.uint32)
             state = seed_rays(pixel_index, fi)
             state, j1 = rng2(state)
@@ -146,7 +150,12 @@ def main() -> None:
     print("== loop splits (camera wavefront, chunked)", flush=True)
     for which in ("sample", "transmittance"):
         fn = loop_only(which)
-        timed(f"{which} only", lambda f=fn: f(jnp.uint32(101)))
+        timed(
+            f"{which} only",
+            lambda f=fn: f(
+                grid, params, lut, env, inv_view, inv_proj, jnp.uint32(101)
+            ),
+        )
 
 
 if __name__ == "__main__":

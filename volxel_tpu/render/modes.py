@@ -284,25 +284,31 @@ def _compact_decode_rgba(
             ) * grid.extent[0] + base[..., 0]
             key = jnp.where(live, flat, jnp.int32(1 << 30))
             order = jnp.argsort(key, stable=True)
-            inv = _inverse_perm(order)
         else:
-            order, inv = _partition_perm(live)  # live lanes first
-        pos_p = pos[order]
+            order, _ = _partition_perm(live)  # live lanes first
         cnt = jnp.sum(live)
 
+        # prefix gather + prefix scatter, NOT full permutes: the old form
+        # paid pos[order] (3n elements) + rgba_p[inv] (4n) serialized
+        # accesses EVERY collision iteration to decode a width-w prefix;
+        # gathering pos only for order[:width] and scattering the decoded
+        # rgba back through the same prefix costs 7*width instead of
+        # 6n + 7*width (r9; examples/ab_scatterdec.py). Live lanes receive
+        # bit-identical values either way; dead lanes now hold 0 instead
+        # of decoded garbage — every consumer masks by `live`.
         def decode_at(width):
             def f(_):
-                rgba_w = _decode_rgba(grid, params, lut, pos_p[:width])
-                return jnp.concatenate(
-                    [rgba_w, jnp.zeros((n - width, 4), jnp.float32)], axis=0
+                sel = order[:width]
+                rgba_w = _decode_rgba(grid, params, lut, pos[sel])
+                return jnp.zeros((n, 4), jnp.float32).at[sel].set(
+                    rgba_w, unique_indices=True
                 )
 
             return f
 
-        rgba_p = _width_ladder(
+        return _width_ladder(
             cnt, _compact_widths(n, finest), decode_at, decode_at(n), 0
         )
-        return rgba_p[inv]
 
     return jax.lax.cond(jnp.any(live), compacted, no_collisions, 0)
 

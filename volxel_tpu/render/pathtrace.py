@@ -82,11 +82,13 @@ class RenderConfig(NamedTuple):
     # picks the branch at runtime). Per-lane RNG state travels with its
     # lane, so renders stay bit-identical
     # (tests/test_render.py::test_compact_secondary_bit_identical).
-    # Default ON: the honest sync-mode A/B measured -7.2% real frame time
-    # (9.07 vs 9.78 s at 960x540/256^3 — examples/profile_real3.py,
-    # NOTES.md r5 discovery section; the earlier "wash" was relay-ack
-    # fiction).
-    compact_secondary: bool = True
+    # Default OFF since r9: the flag won -7.2% under the r5 structure,
+    # but the march ladder now narrows secondary wavefronts in-loop, so
+    # the sort + permute overhead no longer pays — measured a wash at
+    # bounces=1 (0.320 vs 0.317 s/sample at 960x540/256^3) and a -7.6%
+    # LOSS at bounces=3 (0.579 vs 0.535; examples/ab_sec.py), and -7%
+    # at 1080p/512^3 bounces=1 (examples/profile_real6.py).
+    compact_secondary: bool = False
     # fold vol_maj * transfer_alpha(...) into the majorant pyramid
     # IN-GRAPH (modes.build_premul_majorant, hoisted as loop-invariant by
     # XLA) so the DDA march gathers once per step instead of pyramid +
