@@ -675,7 +675,7 @@ def test_pair_decode_bit_identical(grid):
     half must not leak (the x1-at-clip(0) select)."""
     images = {}
     for flag in (False, True):
-        r = Renderer(width=48, height=48, pair_decode=flag)
+        r = Renderer(width=48, height=48, pair_decode=flag, octo_decode=False)
         r.restart_from_grid(grid)
         r.camera.rotate_around_view(0.5, 0.3)
         # close zoom: rays graze the AABB so boundary taps are exercised
@@ -729,3 +729,111 @@ def test_partition_perm_matches_argsort():
                 np.asarray(_inverse_perm(jnp.asarray(perm))),
                 np.argsort(perm, kind="stable"),
             )
+
+
+def test_quad_decode_bit_identical(grid):
+    """Renderer(quad_decode=True) packs the 4 xy-plane bf16 taps of a
+    trilinear stencil into one complex64 element so the decode fetches 8
+    taps with 2 serialized gathers (sampling.pack_dense_quads). Tap
+    values and accumulation order replicate _trilinear_acc exactly, so
+    renders are BIT-identical — including boundary rows/columns, where
+    the high halves must not leak (the x1/y1-at-clip(0) selects)."""
+    images = {}
+    for flag in (False, True):
+        r = Renderer(
+            width=48, height=48, pair_decode=False, quad_decode=flag,
+            octo_decode=False,
+        )
+        r.restart_from_grid(grid)
+        r.camera.rotate_around_view(0.5, 0.3)
+        # close zoom: rays graze the AABB so boundary taps are exercised
+        r.camera.zoom(0.6)
+        r.settings.bounces = 2
+        for _ in range(3):
+            r.render_frame()
+        images[flag] = np.asarray(r._framebuffer)
+    np.testing.assert_array_equal(images[True], images[False])
+    # and directly on the lookup, including out-of-volume positions
+    from volxel_tpu.render.sampling import (
+        device_grid_from_brick,
+        lookup_density_trilinear,
+        pack_dense_quads,
+    )
+
+    dg = device_grid_from_brick(grid)
+    dgq = dg._replace(dense_quad=pack_dense_quads(dg.dense))
+    r = _renderer(grid, size=8)
+    params = r.volume_params()
+    rng = np.random.default_rng(13)
+    ext = np.asarray(dg.extent, np.float32)
+    pos = jnp.asarray(
+        (rng.random((5000, 3)) * (ext + 6.0) - 3.0).astype(np.float32)
+    )
+    want = np.asarray(lookup_density_trilinear(dg, params, pos))
+    got = np.asarray(lookup_density_trilinear(dgq, params, pos))
+    np.testing.assert_array_equal(
+        got.view(np.uint32), want.view(np.uint32)
+    )
+
+
+def test_octo_decode_bit_identical(grid):
+    """Renderer(octo_decode=True) packs ALL 8 bf16 taps of the trilinear
+    stencil into one (Z, Y, X, 4)-uint32 row so the decode is ONE row
+    gather (sampling.pack_dense_octo). Tap values and accumulation order
+    replicate _trilinear_acc exactly, so renders are BIT-identical —
+    including boundary planes, where the shifted channels must not leak
+    (the x1/y1/z1-at-clip(0) selects)."""
+    images = {}
+    for flag in (False, True):
+        r = Renderer(width=48, height=48, pair_decode=False, octo_decode=flag)
+        r.restart_from_grid(grid)
+        r.camera.rotate_around_view(0.5, 0.3)
+        # close zoom: rays graze the AABB so boundary taps are exercised
+        r.camera.zoom(0.6)
+        r.settings.bounces = 2
+        for _ in range(3):
+            r.render_frame()
+        images[flag] = np.asarray(r._framebuffer)
+    np.testing.assert_array_equal(images[True], images[False])
+    # and directly on the lookup, including out-of-volume positions
+    from volxel_tpu.render.sampling import (
+        device_grid_from_brick,
+        lookup_density_trilinear,
+        pack_dense_octo,
+    )
+
+    dg = device_grid_from_brick(grid)
+    dgo = dg._replace(dense_octo=pack_dense_octo(dg.dense))
+    r = _renderer(grid, size=8)
+    params = r.volume_params()
+    rng = np.random.default_rng(13)
+    ext = np.asarray(dg.extent, np.float32)
+    pos = jnp.asarray(
+        (rng.random((5000, 3)) * (ext + 6.0) - 3.0).astype(np.float32)
+    )
+    want = np.asarray(lookup_density_trilinear(dg, params, pos))
+    got = np.asarray(lookup_density_trilinear(dgo, params, pos))
+    np.testing.assert_array_equal(
+        got.view(np.uint32), want.view(np.uint32)
+    )
+
+
+def test_octo_auto_budget(grid):
+    """octo_decode="auto" engages while the 16 B/voxel packed field fits
+    OCTO_BUDGET_BYTES and falls back to pair_decode beyond it (a 1024^3
+    volume would need 16 GiB — more than a v5e's whole HBM)."""
+    import volxel_tpu.render.sampling as sampling
+
+    r = Renderer(width=8, height=8)
+    r.restart_from_grid(grid)
+    assert r._device_grid.dense_octo is not None
+    assert r._device_grid.dense_pair is None
+    old = sampling.OCTO_BUDGET_BYTES
+    sampling.OCTO_BUDGET_BYTES = 1
+    try:
+        r2 = Renderer(width=8, height=8)
+        r2.restart_from_grid(grid)
+        assert r2._device_grid.dense_octo is None
+        assert r2._device_grid.dense_pair is not None
+    finally:
+        sampling.OCTO_BUDGET_BYTES = old

@@ -67,6 +67,8 @@ class Renderer:
         march_ladder: bool = True,
         mxu_gather: bool | str = "auto",
         pair_decode: bool = True,
+        quad_decode: bool = False,
+        octo_decode: bool | str = "auto",
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
@@ -105,6 +107,23 @@ class Renderer:
         # Honest sync-mode A/B: -15.8% frame time (examples/ab_mxu.py
         # r9, 960x540/256^3), so default ON.
         self.pair_decode = bool(pair_decode)
+        # xy-quad packed dense field: the trilinear decode fetches its 8
+        # taps with TWO complex64 gathers (sampling.pack_dense_quads) —
+        # the next rung of pair_decode's per-access pricing. Bit-identical;
+        # costs 4x the bf16 field in HBM (1 GiB at 512^3). Takes
+        # precedence over pair_decode. Opt-in pending the chip A/B.
+        self.quad_decode = bool(quad_decode)
+        # full-stencil packed dense field: ONE (Z, Y, X, 4)-uint32 row
+        # gather fetches all 8 trilinear taps (sampling.pack_dense_octo —
+        # probe_wide_gather.py measured a trailing size-4 gather window
+        # priced like a single element access). Bit-identical; honest
+        # sync-mode A/B: -20.9% frame time vs the pair baseline
+        # (examples/ab_packdec.py, 960x540/256^3), so default ON via
+        # "auto" — which engages only while the packed field fits
+        # OCTO_BUDGET_BYTES (16 B/voxel: 2 GiB at 512^3, but 16 GiB at
+        # 1024^3 — beyond-budget volumes fall back to pair_decode).
+        # Takes precedence over quad/pair.
+        self.octo_decode = octo_decode
         self.settings = settings or ViewerSettings()
 
         self.camera = Camera(1.0)
@@ -222,7 +241,29 @@ class Renderer:
         self._device_grid = device_grid_from_brick(
             grid, maj_dtype=self.maj_dtype
         )
-        if self.pair_decode and self._device_grid.dense is not None:
+        dense = self._device_grid.dense
+        octo = self.octo_decode
+        if octo == "auto":
+            from volxel_tpu.render.sampling import OCTO_BUDGET_BYTES
+
+            octo = dense is not None and dense.size * 16 <= OCTO_BUDGET_BYTES
+        if octo and dense is not None:
+            import jax
+
+            from volxel_tpu.render.sampling import pack_dense_octo
+
+            self._device_grid = self._device_grid._replace(
+                dense_octo=jax.jit(pack_dense_octo)(self._device_grid.dense)
+            )
+        elif self.quad_decode and self._device_grid.dense is not None:
+            import jax
+
+            from volxel_tpu.render.sampling import pack_dense_quads
+
+            self._device_grid = self._device_grid._replace(
+                dense_quad=jax.jit(pack_dense_quads)(self._device_grid.dense)
+            )
+        elif self.pair_decode and self._device_grid.dense is not None:
             import jax
 
             from volxel_tpu.render.sampling import pack_dense_pairs

@@ -71,10 +71,30 @@ class DeviceGrid(NamedTuple):
     # of element size — NOTES.md r5 profile). Costs one extra dense-set
     # of HBM (u32 vs bf16); opt-in via Renderer(pair_decode=True).
     dense_pair: jax.Array | None = None
+    # xy-quad packing of `dense` (pack_dense_quads): one complex64
+    # element per voxel holds the FOUR bf16 taps of a trilinear
+    # stencil's xy-plane — real bits = x-pair at row y, imag bits =
+    # x-pair at row min(y+1, Y-1) — so the 8-tap decode fetches TWO
+    # 8-byte elements (the next rung of the per-ACCESS gather pricing
+    # that made dense_pair win -18.4%). Costs 4x the bf16 field in HBM;
+    # takes precedence over dense_pair when both are present.
+    dense_quad: jax.Array | None = None
+    # full-stencil packing (pack_dense_octo): a (Z, Y, X, 4) uint32 row
+    # per voxel holds ALL EIGHT bf16 taps of the trilinear stencil based
+    # there (channel 2*dz+dy = the x-pair at (z+dz, y+dy), clamped), so
+    # the decode is ONE row gather — the probe measured a trailing
+    # size-4 gather window priced like a single access
+    # (examples/probe_wide_gather.py). Costs 8x the bf16 field in HBM
+    # (2 GiB at 512^3); takes precedence over dense_quad/dense_pair.
+    dense_octo: jax.Array | None = None
 
 
 # dense fields are built for volumes up to this many bytes (bf16)
 DENSE_BUDGET_BYTES = 2 << 30
+# the full-stencil octo packing (16 B/voxel) engages under "auto" only up
+# to this many bytes — 512^3 costs 2 GiB, 1024^3 would cost 16 GiB and
+# must fall back to the 4 B/voxel pair packing (v5e HBM is 16 GiB total)
+OCTO_BUDGET_BYTES = 8 << 30
 
 
 def _upsample_nearest(arr: np.ndarray, factor: int) -> np.ndarray:
@@ -564,6 +584,135 @@ def _pair_halves(pair: jax.Array):
     return lo.astype(jnp.float32), hi.astype(jnp.float32)
 
 
+def pack_dense_quads(dense: jax.Array) -> jax.Array:
+    """(Z, Y, X) bf16 -> (Z, Y, X) complex64 xy-quad packing (see
+    DeviceGrid.dense_quad). Pure elementwise — built once at load.
+
+    complex64 is TPU's only native 8-byte element, so gathering one
+    fetches all four xy-plane taps in a single access: real bits carry
+    the row-y x-pair, imag bits the row-(y+1) x-pair (both x and y
+    shifted copies clamp at the high edge, mirroring pack_dense_pairs)."""
+    pairs = pack_dense_pairs(dense)
+    pairs_y1 = jnp.concatenate([pairs[:, 1:], pairs[:, -1:]], axis=1)
+    return jax.lax.complex(
+        jax.lax.bitcast_convert_type(pairs, jnp.float32),
+        jax.lax.bitcast_convert_type(pairs_y1, jnp.float32),
+    )
+
+
+def _trilinear_quad(grid, params: VolumeParams, ipos):
+    """lookup_density_trilinear via dense_quad: 2 quad gathers for the 8
+    taps, with the exact tap values and accumulation order of
+    _trilinear_acc (bit-identical — pinned by
+    tests/test_render.py::test_quad_decode_bit_identical)."""
+    ext = grid.extent
+    p = ipos - 0.5
+    base = jnp.floor(p).astype(jnp.int32)
+    f = p - base
+    acc = 0.0
+    ux0 = base[..., 0]
+    uy0 = base[..., 1]
+    vx = jnp.clip(ux0, 0, ext[0] - 1)
+    vy = jnp.clip(uy0, 0, ext[1] - 1)
+    in_x0 = (ux0 >= 0) & (ux0 < ext[0])
+    in_x1 = (ux0 + 1 >= 0) & (ux0 + 1 < ext[0])
+    in_y0 = (uy0 >= 0) & (uy0 < ext[1])
+    in_y1 = (uy0 + 1 >= 0) & (uy0 + 1 < ext[1])
+    # when the base column/row is below the volume, clip maps BOTH taps
+    # of that axis to index 0, whose value lives in the LOW half / the
+    # row-y (real) half respectively
+    x1_low = ux0 < 0
+    y1_low = uy0 < 0
+    wx0, wx1 = 1 - f[..., 0], f[..., 0]
+    wy0, wy1 = 1 - f[..., 1], f[..., 1]
+    for dz in (0, 1):
+        uz = base[..., 2] + dz
+        vz = jnp.clip(uz, 0, ext[2] - 1)
+        in_z = (uz >= 0) & (uz < ext[2])
+        q = grid.dense_quad[vz, vy, vx]
+        r0, r1 = _pair_halves(
+            jax.lax.bitcast_convert_type(jnp.real(q), jnp.uint32)
+        )
+        s0, s1 = _pair_halves(
+            jax.lax.bitcast_convert_type(jnp.imag(q), jnp.uint32)
+        )
+        # row-(y+1) taps fall back to the row-y halves when the clip
+        # aliased both rows to row 0
+        u0 = jnp.where(y1_low, r0, s0)
+        u1 = jnp.where(y1_low, r1, s1)
+        t00 = jnp.where(in_z & in_y0 & in_x0, r0, 0.0)
+        t01 = jnp.where(in_z & in_y0 & in_x1, jnp.where(x1_low, r0, r1), 0.0)
+        t10 = jnp.where(in_z & in_y1 & in_x0, u0, 0.0)
+        t11 = jnp.where(in_z & in_y1 & in_x1, jnp.where(x1_low, u0, u1), 0.0)
+        # identical per-tap w expression and accumulation order as
+        # _trilinear_acc: w = ((wx) * (wy)) * (wz), dx innermost
+        wz = f[..., 2] if dz else 1 - f[..., 2]
+        acc = acc + t00 * ((wx0 * wy0) * wz)
+        acc = acc + t01 * ((wx1 * wy0) * wz)
+        acc = acc + t10 * ((wx0 * wy1) * wz)
+        acc = acc + t11 * ((wx1 * wy1) * wz)
+    return params.density_scale * acc
+
+
+def pack_dense_octo(dense: jax.Array) -> jax.Array:
+    """(Z, Y, X) bf16 -> (Z, Y, X, 4) uint32 full-stencil packing (see
+    DeviceGrid.dense_octo). Pure elementwise — built once at load."""
+    pairs = pack_dense_pairs(dense)
+    pairs_y1 = jnp.concatenate([pairs[:, 1:], pairs[:, -1:]], axis=1)
+    z0 = jnp.stack([pairs, pairs_y1], axis=-1)  # (Z, Y, X, 2)
+    z1 = jnp.concatenate([z0[1:], z0[-1:]], axis=0)
+    return jnp.concatenate([z0, z1], axis=-1)  # channels: y0, y1 @ z, z+1
+
+
+def _trilinear_octo(grid, params: VolumeParams, ipos):
+    """lookup_density_trilinear via dense_octo: ONE row gather for the 8
+    taps, with the exact tap values and accumulation order of
+    _trilinear_acc (bit-identical — pinned by
+    tests/test_render.py::test_octo_decode_bit_identical)."""
+    ext = grid.extent
+    p = ipos - 0.5
+    base = jnp.floor(p).astype(jnp.int32)
+    f = p - base
+    ux0, uy0, uz0 = base[..., 0], base[..., 1], base[..., 2]
+    vx = jnp.clip(ux0, 0, ext[0] - 1)
+    vy = jnp.clip(uy0, 0, ext[1] - 1)
+    vz = jnp.clip(uz0, 0, ext[2] - 1)
+    in_x = ((ux0 >= 0) & (ux0 < ext[0]), (ux0 + 1 >= 0) & (ux0 + 1 < ext[0]))
+    in_y = ((uy0 >= 0) & (uy0 < ext[1]), (uy0 + 1 >= 0) & (uy0 + 1 < ext[1]))
+    in_z = ((uz0 >= 0) & (uz0 < ext[2]), (uz0 + 1 >= 0) & (uz0 + 1 < ext[2]))
+    # when a base coordinate is below the volume, clip maps BOTH taps of
+    # that axis to index 0 — the +1 tap's value is then the LOW half /
+    # the dy=0 channel / the dz=0 channel respectively
+    x1_low = ux0 < 0
+    y1_low = uy0 < 0
+    z1_low = uz0 < 0
+    q = grid.dense_octo[vz, vy, vx]  # (..., 4) uint32
+    lohi = [_pair_halves(q[..., c]) for c in range(4)]  # [(x0, x1)] per ch
+    wx = (1 - f[..., 0], f[..., 0])
+    wy = (1 - f[..., 1], f[..., 1])
+    wz = (1 - f[..., 2], f[..., 2])
+    acc = 0.0
+    for dz in (0, 1):
+        cz = jnp.where(z1_low, 0, dz) if dz else 0
+        for dy in (0, 1):
+            cy = jnp.where(y1_low, 0, dy) if dy else 0
+            # per-lane channel select (2*dz' + dy') — a 4-way where
+            # chain over the gathered row, not another gather
+            c = 2 * cz + cy
+            v0 = lohi[0][0]
+            v1 = lohi[0][1]
+            for ch in (1, 2, 3):
+                v0 = jnp.where(c == ch, lohi[ch][0], v0)
+                v1 = jnp.where(c == ch, lohi[ch][1], v1)
+            for dx in (0, 1):
+                tap = jnp.where(x1_low, v0, v1) if dx else v0
+                tap = jnp.where(in_z[dz] & in_y[dy] & in_x[dx], tap, 0.0)
+                # identical per-tap w expression and accumulation order
+                # as _trilinear_acc: w = ((wx) * (wy)) * (wz)
+                acc = acc + tap * ((wx[dx] * wy[dy]) * wz[dz])
+    return params.density_scale * acc
+
+
 def _trilinear_pair(grid, params: VolumeParams, ipos):
     """lookup_density_trilinear via dense_pair: 4 pair gathers for the 8
     taps, with the exact tap values and accumulation order of
@@ -609,6 +758,10 @@ def lookup_density_trilinear(grid, params: VolumeParams, ipos):
     """Trilinear filtered scaled density (common.glsl:61-69)."""
     if isinstance(grid, SlabGrid):
         return _slab_density_trilinear(grid, params, ipos)
+    if getattr(grid, "dense_octo", None) is not None:
+        return _trilinear_octo(grid, params, ipos)
+    if getattr(grid, "dense_quad", None) is not None:
+        return _trilinear_quad(grid, params, ipos)
     if getattr(grid, "dense_pair", None) is not None:
         return _trilinear_pair(grid, params, ipos)
     acc = _trilinear_acc(ipos, lambda tap: lookup_density_brick_int(grid, tap))
