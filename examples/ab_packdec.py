@@ -35,6 +35,8 @@ def main() -> None:
     width = int(_sys.argv[2]) if len(_sys.argv) > 2 else 960
     height = int(_sys.argv[3]) if len(_sys.argv) > 3 else 540
     passes = int(_sys.argv[4]) if len(_sys.argv) > 4 else 3
+    which = (_sys.argv[5].split(",") if len(_sys.argv) > 5
+             else ["pair", "quad", "octo"])
 
     @jax.jit
     def trivial(x):
@@ -48,7 +50,7 @@ def main() -> None:
     # ---- micro: u32 size-4 row window at dense-field scale ----------------
     n_lanes = 131072
     rng = np.random.default_rng(0)
-    for n in (1 << 24,):
+    for n in (1 << 24,) if size < 512 else ():
         tab = jax.jit(
             lambda n=n: jnp.stack([jnp.arange(n, dtype=jnp.uint32) % 3] * 4, 1)
         )()
@@ -96,14 +98,28 @@ def main() -> None:
     r.render_frame()
     ops = list(r._cached_operands)
     config = ops[0]
-    g_pair = ops[1]
-    dense = g_pair.dense
-    g_quad = g_pair._replace(dense_pair=None, dense_quad=jax.jit(pack_dense_quads)(dense))
-    g_octo = g_pair._replace(dense_pair=None, dense_octo=jax.jit(pack_dense_octo)(dense))
-    g_quad.dense_quad.block_until_ready()
-    g_octo.dense_octo.block_until_ready()
+    g_base = ops[1]
+    dense = g_base.dense
+    # the renderer default may already be octo — normalize to explicit arms
+    g_base = g_base._replace(dense_pair=None, dense_quad=None, dense_octo=None)
+    arms = {}
+    if "pair" in which:
+        from volxel_tpu.render.sampling import pack_dense_pairs
 
-    arms = {"pair": g_pair, "quad": g_quad, "octo": g_octo}
+        arms["pair"] = g_base._replace(
+            dense_pair=jax.jit(pack_dense_pairs)(dense)
+        )
+        arms["pair"].dense_pair.block_until_ready()
+    if "quad" in which:
+        arms["quad"] = g_base._replace(
+            dense_quad=jax.jit(pack_dense_quads)(dense)
+        )
+        arms["quad"].dense_quad.block_until_ready()
+    if "octo" in which:
+        arms["octo"] = g_base._replace(
+            dense_octo=jax.jit(pack_dense_octo)(dense)
+        )
+        arms["octo"].dense_octo.block_until_ready()
 
     def run(g, fi):
         o = list(ops)
@@ -139,8 +155,11 @@ def main() -> None:
     # bit-compare one frame across arms (fetches are fine post-switch)
     frames = {tag: np.asarray(run(g, 4242)) for tag, g in arms.items()}
     for tag in ("quad", "octo"):
-        same = (frames[tag].view(np.uint32) == frames["pair"].view(np.uint32)).all()
-        print(f"  {tag} bit-identical to pair: {bool(same)}", flush=True)
+        if tag in frames and "pair" in frames:
+            same = (
+                frames[tag].view(np.uint32) == frames["pair"].view(np.uint32)
+            ).all()
+            print(f"  {tag} bit-identical to pair: {bool(same)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -213,7 +213,13 @@ def test_warp_tables_bit_identical():
     img[5:9, 40:70] = 80.0
     state = build_env_state(img)
     assert state.warp_d is not None and len(state.warp_d) == 9
-    bare = state._replace(warp_d=None, warp_e=None)
+    assert state.warp_f is not None and len(state.warp_f) == 9
+    # three generations: fused rows (default) / d+e tables / inline quad
+    # taps — all must agree to the bit (incl. the envmap_quad le fetch)
+    tables = state._replace(warp_f=None, envmap_quad=None)
+    bare = state._replace(
+        warp_d=None, warp_e=None, warp_f=None, envmap_quad=None
+    )
     rnd = jnp.asarray(
         np.random.default_rng(6).uniform(0, 1, (4096, 2)).astype(np.float32)
     )
@@ -221,10 +227,14 @@ def test_warp_tables_bit_identical():
         # _sample_env (unjitted): the module-level jit wrapper would trace
         # `physical`, which gates python-level branches
         got = _sample_env(state, rnd, physical)
+        mid = _sample_env(tables, rnd, physical)
         want = _sample_env(bare, rnd, physical)
-        for g, w in zip(got, want):
+        for g, m, w in zip(got, mid, want):
             np.testing.assert_array_equal(
                 np.asarray(g).view(np.uint32), np.asarray(w).view(np.uint32)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(m).view(np.uint32), np.asarray(w).view(np.uint32)
             )
 
 

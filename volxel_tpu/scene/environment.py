@@ -70,6 +70,17 @@ class EnvState(NamedTuple):
     # MXU-gather packing of imp_mips[0] (the warp's final texel-ratio
     # fetch + the physical pdf's texel fetch).
     imp0_mxu: jax.Array | None = None
+    # fused warp rows: warp_f[m][qy, qx] = (d, eL, eR) — ONE size-3 row
+    # gather per descent level instead of d + e (probe_wide_gather.py:
+    # XLA TPU prices a trailing row window like a single element
+    # access). Values are the same warp_d/warp_e entries, so compares
+    # stay bit-identical.
+    warp_f: tuple | None = None  # m: (dim/2, dim/2, 3) float32
+    # 2x2-quad packed envmap: envmap_quad[y, x] = the 12 floats of the
+    # bilinear stencil based at (y, x) — rows y, min(y+1, H-1); columns
+    # x, (x+1) % W (GL REPEAT in u, CLAMP in v) — so a bilinear sample
+    # is ONE row gather instead of four. 4x the envmap's HBM.
+    envmap_quad: jax.Array | None = None
 
 
 def luma(rgb):
@@ -93,13 +104,34 @@ def build_env_state(envmap_texture: np.ndarray, strength: float = 1.0) -> EnvSta
     base = jax.image.resize(lum, (IMP_DIM, IMP_DIM), method="linear")
     mips = (base,) + tuple(build_importance_pyramid(base))
     warp_d, warp_e = build_warp_tables(mips)
+    warp_f = tuple(
+        jnp.concatenate([d[..., None], e], axis=-1)
+        for d, e in zip(warp_d, warp_e)
+    )
     return EnvState(
         envmap=env,
         imp_mips=mips,
         strength=jnp.float32(strength),
         warp_d=warp_d,
         warp_e=warp_e,
+        warp_f=warp_f,
+        envmap_quad=pack_envmap_quad(env) if env.size <= ENVQUAD_BUDGET_ELEMS
+        else None,
     )
+
+
+# envmap_quad is built for maps up to this many f32 elements (the packing
+# costs 4x the map: a 2048x1024 RGB map is 25 MB -> 100 MB packed)
+ENVQUAD_BUDGET_ELEMS = 64 << 20
+
+
+def pack_envmap_quad(tex: jax.Array) -> jax.Array:
+    """(H, W, 3) f32 -> (H, W, 12) bilinear-stencil rows (see
+    EnvState.envmap_quad). Pure elementwise — built once at env load."""
+    x1 = jnp.roll(tex, -1, axis=1)  # column (x+1) % W  (GL REPEAT)
+    y1 = jnp.concatenate([tex[1:], tex[-1:]], axis=0)  # row min(y+1, H-1)
+    y1x1 = jnp.roll(y1, -1, axis=1)
+    return jnp.concatenate([tex, x1, y1, y1x1], axis=-1)
 
 
 def build_warp_tables(mips) -> tuple[tuple, tuple]:
@@ -157,11 +189,13 @@ def default_environment() -> Environment:
 # -- device-side sampling ------------------------------------------------------
 
 
-def _bilinear_wrap_clamp(tex: jax.Array, u, v, packed=None):
+def _bilinear_wrap_clamp(tex: jax.Array, u, v, packed=None, quad=None):
     """Bilinear sample of (H, W, C) with wrap in u, clamp in v (GL REPEAT/CLAMP).
 
     `packed`, when given, is the MXU-gather packing of tex (bit-equal
-    taps through one Pallas call instead of 4 vector gathers)."""
+    taps through one Pallas call instead of 4 vector gathers). `quad` is
+    the EnvState.envmap_quad stencil-row packing — the same 4 taps in
+    ONE row gather (bit-equal values; wins over `packed`)."""
     h, w = tex.shape[0], tex.shape[1]
     x = u * w - 0.5
     y = v * h - 0.5
@@ -176,7 +210,16 @@ def _bilinear_wrap_clamp(tex: jax.Array, u, v, packed=None):
     # the scalar GLSL oracle at the equirect poles, tests/oracle.py)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-    if packed is not None:
+    if quad is not None:
+        q = quad[y0i, x0i]  # (..., 12): t00, t10, t01, t11 RGB triples
+        t00, t10 = q[..., 0:3], q[..., 3:6]
+        # the packed row's second-row half is row y0i+1; when y0 < 0 the
+        # clamp aliases BOTH rows to row 0, so the row-y half is the
+        # right value (mirrors the trilinear packings' low-edge selects)
+        y_low = (y0.astype(jnp.int32) < 0)[..., None]
+        t01 = jnp.where(y_low, t00, q[..., 6:9])
+        t11 = jnp.where(y_low, t10, q[..., 9:12])
+    elif packed is not None:
         from volxel_tpu.render.mxu_gather import mxu_gather_f32
 
         c = tex.shape[2]
@@ -209,7 +252,8 @@ def lookup_environment(env: EnvState, direction):
     """Equirect radiance lookup (environment.glsl:19-27)."""
     u, v = _dir_to_uv(direction)
     return env.strength * _bilinear_wrap_clamp(
-        env.envmap, u, v, getattr(env, "envmap_mxu", None)
+        env.envmap, u, v, getattr(env, "envmap_mxu", None),
+        getattr(env, "envmap_quad", None),
     )
 
 
@@ -253,7 +297,16 @@ def sample_environment(env: EnvState, rnd2, physical: bool = False):
     py = rnd2[..., 1]
 
     for mip in range(IMP_BASE_MIP - 1, -1, -1):
-        if env.warp_d is not None:
+        if getattr(env, "warp_f", None) is not None and env.warp_d_mxu is None:
+            # fused-row path: ONE (d, eL, eR) row gather per level
+            # (EnvState.warp_f docstring); same table entries as
+            # warp_d/warp_e, so every compare stays bit-identical
+            # (pinned by tests/test_scene.py::test_warp_tables_bit_identical)
+            row = env.warp_f[mip][pos_y, pos_x]
+            d = row[..., 0]
+            go_right = px >= d
+            e = jnp.where(go_right, row[..., 2], row[..., 1])
+        elif env.warp_d is not None:
             # table path: 2 gathers/level instead of 4 (EnvState.warp_d
             # docstring); d/e values and every compare bit-identical to
             # the inline chain below (pinned by
@@ -298,7 +351,8 @@ def sample_environment(env: EnvState, rnd2, physical: bool = False):
     w_i = jnp.stack([sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)], axis=-1)
 
     le = env.strength * _bilinear_wrap_clamp(
-        env.envmap, uv_x, uv_y, getattr(env, "envmap_mxu", None)
+        env.envmap, uv_x, uv_y, getattr(env, "envmap_mxu", None),
+        getattr(env, "envmap_quad", None),
     )
     avg_w = env.imp_mips[IMP_BASE_MIP][0, 0]
     texel_ratio = (
