@@ -78,7 +78,30 @@ def _enable_compilation_cache() -> None:
         pass  # cache is an optimization, never a requirement
 
 
+def _expose_host_cpu_backend() -> None:
+    """Widen jax_platforms so the host CPU backend coexists with the
+    accelerator backend (priority order keeps the accelerator default).
+
+    Why: cheap eager preprocessing (the env importance build — ~110
+    small one-shot ops) costs ~0.6 s PER OP on a tunneled remote-compile
+    backend (BENCH_r04 measured it as 73 of the 115 s setup); on the
+    host CPU the same build is milliseconds, and the finished pytree is
+    device_put once. Must run before the first backend use — harmless
+    no-op if backends already initialized (config.update raises) or when
+    JAX_PLATFORMS already includes cpu / is unset."""
+    plats = _os.environ.get("JAX_PLATFORMS") or ""
+    if not plats or "cpu" in plats.lower():
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plats + ",cpu")
+    except Exception:
+        pass
+
+
 _enable_compilation_cache()
+_expose_host_cpu_backend()
 
 from volxel_tpu.api.renderer import Renderer  # noqa: F401
 from volxel_tpu.api.settings import (  # noqa: F401

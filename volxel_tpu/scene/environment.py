@@ -91,18 +91,47 @@ def luma(rgb):
     )
 
 
+def _host_cpu_device():
+    """The host CPU device when the session exposes one ALONGSIDE an
+    accelerator backend (volxel_tpu.__init__ widens jax_platforms), else
+    None (pure-CPU sessions build in place anyway)."""
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:  # noqa: BLE001 — no cpu backend exposed
+        return None
+
+
 def build_env_state(envmap_texture: np.ndarray, strength: float = 1.0) -> EnvState:
     """Build the importance pyramid from a texture-space (H, W, 3) envmap.
 
-    On TPU the 9 pooled levels come from one Pallas MXU kernel
-    (render/pallas_ops.py); elsewhere from successive XLA mean pools.
+    The build is ~110 small one-shot eager ops — on a remote-compile
+    accelerator backend each op pays a tunnel compile round trip
+    (measured 73 s of BENCH_r04's setup; ref builds the same map in one
+    fragment dispatch, environment.ts:47-58). It therefore runs on the
+    host CPU backend whenever one is exposed, and the finished pytree is
+    uploaded once with a single uncommitted device_put (so sharded
+    renders can still replicate it freely).
     """
+    cpu = _host_cpu_device()
+    if cpu is None:
+        return _build_env_state_impl(envmap_texture, strength, use_pallas=None)
+    with jax.default_device(cpu):
+        state = _build_env_state_impl(envmap_texture, strength, use_pallas=False)
+        jax.tree_util.tree_map(lambda a: a.block_until_ready(), state)
+    return jax.device_put(state)
+
+
+def _build_env_state_impl(
+    envmap_texture: np.ndarray, strength: float, use_pallas: bool | None
+) -> EnvState:
     from volxel_tpu.render.pallas_ops import build_importance_pyramid
 
     env = jnp.asarray(envmap_texture[..., :3], dtype=jnp.float32)
     lum = luma(env)
     base = jax.image.resize(lum, (IMP_DIM, IMP_DIM), method="linear")
-    mips = (base,) + tuple(build_importance_pyramid(base))
+    mips = (base,) + tuple(build_importance_pyramid(base, use_pallas=use_pallas))
     warp_d, warp_e = build_warp_tables(mips)
     warp_f = tuple(
         jnp.concatenate([d[..., None], e], axis=-1)
