@@ -168,3 +168,69 @@ def test_converged_mean_matches_oracle(scene_grid, mode_stats):
         f"0.1% at converged scale (max rel {rels.max():.2e})"
     )
     assert float(np.median(rels)) < 1e-4, "systematic drift vs oracle"
+
+
+def test_production_flagset_converged_cross_check(scene_grid):
+    """VERDICT r4 item 6: pin the EXACT shipped configuration end-to-end.
+
+    All prior bit-pins run below modes.COMPACT_DECODE_MIN_LANES or with
+    compaction off. This renders at 128x96 — a single 12288-lane chunk,
+    ABOVE the engagement gate, so the march ladder, the compacted
+    collision decode, compact_env and the octo full-stencil decode all
+    actually engage (asserted below) — and cross-checks the converged
+    101-sample mean against the strict-bit path (compact_decode=False,
+    march_ladder=False), which carries per-lane bit-reproducibility.
+    Contract: same estimator, same draw protocol; compacted widths may
+    realize individual (pixel, sample) draws differently (the tile_chunks
+    ulp contract, docs/PARITY.md), so the pinned band is on the CONVERGED
+    mean: identical draws almost everywhere, a small set of realization
+    flips bounded by 1/N each.
+    """
+    from volxel_tpu.render import modes
+
+    w, h = 128, 96
+    n_px = w * h
+    assert n_px >= modes.COMPACT_DECODE_MIN_LANES
+
+    def arm(**kw):
+        r = Renderer(width=w, height=h, **kw)
+        r.restart_from_grid(scene_grid)
+        r.restore_settings(json.loads(FIXTURE.read_text())["sharedSettings"][0])
+        r.settings.resolution_factor = 1.0
+        r.render_mode = "default"
+        r.render_frame()  # prime operand cache
+        return r
+
+    prod = arm()  # the shipped defaults, nothing overridden
+    strict = arm(compact_decode=False, march_ladder=False)
+
+    # engagement sanity: this test is about the SHIPPED flag set
+    cfg = prod._cached_operands[0]
+    assert cfg.compact_decode == "loop" and cfg.march_ladder and cfg.compact_env
+    assert cfg.premul_majorant
+    assert prod._device_grid.dense_octo is not None  # octo engaged (auto)
+    scfg = strict._cached_operands[0]
+    assert scfg.compact_decode is False and not scfg.march_ladder
+
+    def converged(r):
+        s = np.zeros((n_px, 3), np.float64)
+        for fi in range(SAMPLES):
+            s += np.asarray(
+                render_sample(*r._cached_operands, jnp.uint32(fi)), np.float64
+            )
+        return s / SAMPLES
+
+    a = converged(prod)
+    b = converged(strict)
+    scale = float(b.mean())
+    rel = np.abs(a - b).max() / scale
+    gmean = abs(a.mean() - b.mean()) / scale
+    frac_diff = float((np.abs(a - b) > 1e-12).mean())
+    print(f"prod-vs-strict: max|d|/mean {rel:.4g}, global {gmean:.4g}, "
+          f"frac pixels differing {frac_diff:.4g}")
+    # pinned band (measured 2026-08: max|d|/mean 8.98e-06, global 2.78e-10,
+    # frac differing 8.1e-05 — i.e. >99.99% of converged pixels BIT-equal;
+    # bounds carry ~100x headroom for realization-flip scene sensitivity)
+    assert gmean < 1e-4, f"global converged means diverged: {gmean}"
+    assert rel < 0.05, f"per-pixel converged band blown: {rel}"
+    assert frac_diff < 0.01, f"too many differing pixels: {frac_diff}"
