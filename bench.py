@@ -380,11 +380,11 @@ def _main() -> None:
             print(f"# honest {mode}: FAILED {_err(e)}", file=sys.stderr)
 
     # VOLUME-FILLING leg (VERDICT r3 item 3): camera framed so the AABB
-    # covers ~the whole viewport + the reference's 3x density. At full
-    # scale only the default (headline) mode is timed — honest filled
-    # frames run minutes each and the driver's budget is finite.
+    # covers ~the whole viewport + the reference's 3x density. All three
+    # modes are timed (VERDICT r4 item 2 — the filled framing is the
+    # realistic workload); the per-frame budget caps a pathological mode.
     filled_sweep: dict[str, object] = {}
-    filled_modes = modes if small else ("default",)
+    filled_modes = modes
     if any(isinstance(v, float) for v in sweep.values()):
         try:
             _frame_filled(r)
