@@ -258,7 +258,12 @@ def tile_corners(rays: jax.Array, ext, dz: int, dy: int, dx: int,
         tap = jnp.floor(ipos + t * idir - 0.5).astype(jnp.int32)
         tapc = jnp.clip(tap, 0, ext_xyz - 1)
         lo = jnp.min(jnp.where(valid, tapc, big), axis=-1)  # (T, 3) x, y, z
-        return jnp.clip(lo, 0, jnp.maximum(ext_xyz[:, 0] - box_xyz, 0))
+        hi = jnp.max(jnp.where(valid, tapc, -big), axis=-1)
+        # center the box on the cloud: covers [lo, hi] whenever the
+        # extent fits, and splits the spill between both sides when it
+        # does not (min-anchoring puts ALL misses on the high side)
+        mid = (lo + hi + 1 - box_xyz) // 2
+        return jnp.clip(mid, 0, jnp.maximum(ext_xyz[:, 0] - box_xyz, 0))
 
     lo = jax.lax.map(one_step, jnp.arange(steps))  # (S, T, 3)
     lo = jnp.moveaxis(lo, 0, 1)  # (T, S, 3)
