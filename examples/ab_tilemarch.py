@@ -89,7 +89,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from volxel_tpu.render.tilemarch import (
-        pack_tile_rays, serial_march_sums, tile_corners, tile_march_sums,
+        pack_tile_rays, serial_march_sums, tile_block_corners,
+        tile_march_sums,
     )
 
     ntiles = int(sys.argv[1]) if len(sys.argv) > 1 else 5400
@@ -141,19 +142,20 @@ def main() -> None:
     ref, t_serial = timed("serial-gather", lambda: serial_j(dense, rays))
 
     corners_j = jax.jit(
-        lambda r, dz, dy, dx: tile_corners(r, [EXT, EXT, EXT], dz, dy, dx),
-        static_argnums=(1, 2, 3))
+        lambda r, bz, neigh: tile_block_corners(r, [EXT, EXT, EXT], bz, neigh),
+        static_argnums=(1, 2))
 
-    for dz, dy, dx in ((32, 32, 32), (32, 32, 64), (16, 16, 64)):
-        cs, t_c = timed(f"corners {dz},{dy},{dx}",
-                        lambda: corners_j(rays, dz, dy, dx))
+    for bz, neigh in ((8, (3, 2, 1)), (16, (2, 2, 1)), (8, (2, 2, 1)),
+                      (8, (2, 2, 2))):
+        win = (bz * neigh[0], 16 * neigh[1], 128 * neigh[2])
+        cs, t_c = timed(f"corners bz{bz} n{neigh}",
+                        lambda: corners_j(rays, bz, neigh))
         if cs is None:
             continue
         out, t_k = timed(
-            f"tile-march {dz},{dy},{dx}",
-            lambda: tile_march_sums(dense, rays, cs, ext4,
-                                    dz=dz, dy=dy, dx=dx),
-            extra=f"(DMA {ntiles * STEPS * dz * dy * dx * 2 / 1e9:.1f} GB)",
+            f"tile-march bz{bz} n{neigh} win{win}",
+            lambda: tile_march_sums(dense, rays, cs, ext4, bz=bz, neigh=neigh),
+            extra=f"(DMA {ntiles * STEPS * win[0] * win[1] * win[2] * 2 / 1e9:.1f} GB)",
         )
         if out is None:
             continue

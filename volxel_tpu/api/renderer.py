@@ -69,6 +69,7 @@ class Renderer:
         pair_decode: bool = True,
         quad_decode: bool = False,
         octo_decode: bool | str = "auto",
+        tile_march: bool | str = "auto",
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
@@ -124,6 +125,15 @@ class Renderer:
         # 1024^3 — beyond-budget volumes fall back to pair_decode).
         # Takes precedence over quad/pair.
         self.octo_decode = octo_decode
+        # raymarch mode: camera-wavefront taps via the pipelined
+        # tile-march Pallas kernel (RenderConfig.tile_march) — the
+        # bandwidth-bound window-select path. BIT-identical renders
+        # (in-window lanes replicate the exact op/draw chain; misses
+        # re-trace through the XLA loop, tests/test_tilemarch.py).
+        # "auto" engages on the TPU backend (the kernel exists to beat
+        # the serialized-gather latency wall; CPU interprets it many
+        # times slower); True forces it for tests.
+        self.tile_march = tile_march
         self.settings = settings or ViewerSettings()
 
         self.camera = Camera(1.0)
@@ -432,6 +442,7 @@ class Renderer:
             compact_decode=self.compact_decode,
             march_ladder=self.march_ladder,
             mxu_gather=self._resolve_mxu_gather(),
+            tile_march=self._resolve_tile_march(),
         )
 
     def _resolve_mxu_gather(self) -> bool:
@@ -449,6 +460,16 @@ class Renderer:
         if self.mxu_gather != "auto":
             return bool(self.mxu_gather)
         return False
+
+    def _resolve_tile_march(self) -> bool:
+        """Resolve tile_march="auto" to a concrete bool: ON for the TPU
+        backend (raymarch mode only engages it — see RenderConfig), OFF
+        on CPU where the interpreted kernel is strictly slower."""
+        if self.tile_march != "auto":
+            return bool(self.tile_march)
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu"
 
     def volume_params(self) -> VolumeParams:
         """bindUniforms volume block (viewer.ts:1324-1345)."""

@@ -1578,6 +1578,124 @@ def sample_volume_raymarch(grid, params, lut, origin, direction, state, active,
     return state, opack[:, 4] > 0.5, opack[:, 0], opack[:, 1:4], le_add
 
 
+def sample_volume_raymarch_tiled(
+    grid, params, lut, origin, direction, state, active,
+    bz: int = 8, neigh: tuple = (3, 2, 1), finest: int | None = None,
+    interpret: bool | None = None,
+):
+    """sample_volume_raymarch with the step loop's stochastic taps
+    answered by the pipelined tile-march Pallas kernel
+    (render/tilemarch.py): per 384-lane screen micro-tile, each step's
+    tap support streams through VMEM as a block window (bandwidth-bound)
+    instead of XLA's serialized per-lane gathers (latency-bound).
+
+    BIT-equal to sample_volume_raymarch for EVERY lane: non-missed lanes
+    replicate the exact op/draw chain in-kernel (one nonzero one-hot MXU
+    product is exact); lanes whose tap ever leaves their tile's window
+    are re-traced from the post-prologue state snapshot by the XLA loop,
+    compacted to the miss count's width rung. Requires lanes arranged
+    micro-tile-major (n divisible by tilemarch.LANES) and a dense grid.
+
+    Ref: raymarch.glsl:30-56; economics NOTES.md round 12.
+    """
+    from volxel_tpu.render import tilemarch as tm
+
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+
+    valid = active & hit_box
+    # tau target + start jitter consumed after the box test (raymarch.glsl:37-40)
+    state, xi_tau = rng_where(valid, state)
+    tau_target = -jnp.log(1.0 - xi_tau)
+    dt = (far - near) / RAYMARCH_STEPS
+    state, xi_j = rng_where(valid, state)
+    start = near + xi_j * dt
+    state_snap = state  # post-prologue: the fallback re-traces from here
+
+    n = origin.shape[0]
+    lanes = tm.LANES
+    ntiles = n // lanes
+
+    def tiled(x):
+        return x.reshape((ntiles, lanes) + x.shape[1:])
+
+    rays_p = tm.pack_tile_rays(
+        tiled(ipos), tiled(idir), tiled(start), tiled(dt), tiled(far),
+        tiled(valid), tiled(tau_target),
+    )
+    zdim, ydim, xdim = grid.dense.shape
+    neigh_eff = tm.effective_neigh(grid.dense.shape, bz, neigh)
+    cb = tm.tile_block_corners_stochastic(
+        rays_p, [xdim, ydim, zdim], bz, neigh_eff, steps=RAYMARCH_STEPS
+    )
+    scalars = jnp.stack([
+        params.inv_maj, params.vol_maj, params.density_scale,
+        params.sample_range[0], params.sample_range[1],
+        jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ]).astype(jnp.float32)
+    state4 = jnp.moveaxis(tiled(state_snap), -1, 1).astype(jnp.uint32)
+    ext4 = jnp.asarray([xdim, ydim, zdim, 0], jnp.int32)
+    outf, outs = tm.tile_march_sample(
+        grid.dense, rays_p, state4, cb, jnp.transpose(lut), scalars, ext4,
+        bz=bz, neigh=neigh_eff, steps=RAYMARCH_STEPS, interpret=interpret,
+    )
+    hit_k = outf[:, tm.O_HIT].reshape(n) > 0.5
+    t_k = outf[:, tm.O_T].reshape(n)
+    rgb_k = jnp.moveaxis(outf[:, tm.O_R:tm.O_B + 1], 1, 2).reshape(n, 3)
+    missed = outf[:, tm.O_MISS].reshape(n) > 0.5
+    state_k = jnp.moveaxis(outs, 1, 2).reshape(n, 4).astype(state_snap.dtype)
+
+    # ---- serialized fallback for the missed lanes, width-compacted ----
+    order, _ = _partition_perm(missed)
+    cnt = jnp.sum(missed.astype(jnp.int32))
+    fpack = jnp.concatenate(
+        [ipos, idir, start[:, None], dt[:, None], far[:, None],
+         tau_target[:, None]], axis=1,
+    )[order]  # (n, 12)
+    m_s = missed[order]
+    st_s = state_snap[order]
+
+    def run_at(w):
+        def f(_):
+            ip, idr = fpack[:w, 0:3], fpack[:w, 3:6]
+            st_, dt_ = fpack[:w, 6], fpack[:w, 7]
+            fr, tt = fpack[:w, 8], fpack[:w, 9]
+            cond, body = _raymarch_loop(
+                grid, params, lut, ip, idr, st_, dt_, fr, tt, None
+            )
+            zf = jnp.zeros((w,), jnp.float32)
+            final = jax.lax.while_loop(
+                cond, body,
+                (st_s[:w], m_s[:w], zf, jnp.zeros((w,), jnp.bool_), zf,
+                 jnp.ones((w, 3), jnp.float32), jnp.int32(0)),
+            )
+            stf, _, _, hitf, t_of, rgbf = final[:6]
+            pad = n - w
+            return (
+                jnp.concatenate([stf, st_s[w:]]),
+                jnp.concatenate([hitf, jnp.zeros((pad,), jnp.bool_)]),
+                jnp.concatenate([t_of, jnp.zeros((pad,), jnp.float32)]),
+                jnp.concatenate([rgbf, jnp.ones((pad, 3), jnp.float32)]),
+            )
+        return f
+
+    widths = _compact_widths(n, finest)
+    st_f, hit_f, t_f, rgb_f = _width_ladder(
+        cnt, widths, run_at, run_at(n), 0
+    )
+    inv = _inverse_perm(order)
+    st_f, hit_f, t_f, rgb_f = st_f[inv], hit_f[inv], t_f[inv], rgb_f[inv]
+
+    state = jnp.where(missed[:, None], st_f, state_k)
+    hit = jnp.where(missed, hit_f, hit_k)
+    t_out = jnp.where(missed, t_f, t_k)
+    rgb_out = jnp.where(missed[:, None], rgb_f, rgb_k)
+    le_add = jnp.zeros((n, 3), jnp.float32)
+    return state, hit, t_out, rgb_out, le_add
+
+
 def transmittance_raymarch(grid, params, lut, origin, direction, state, active):
     hit_box, near, far = ray_box_intersection(
         Rays(origin, direction), params.aabb_lo, params.aabb_hi

@@ -24,6 +24,7 @@ from volxel_tpu.render.modes import (
     _partition_perm,
     _width_ladder,
     get_mode_functions,
+    sample_volume_raymarch_tiled,
 )
 from volxel_tpu.render.rays import (
     Rays,
@@ -206,6 +207,25 @@ class RenderConfig(NamedTuple):
     # the compact pyramid fits the MXU budget; True forces it (CPU runs
     # the kernel interpreted — tests only).
     mxu_gather: bool | str = False
+    # raymarch mode: answer the camera wavefront's per-step stochastic
+    # taps with the pipelined tile-march Pallas kernel
+    # (render/tilemarch.py) — per 384-lane screen micro-tile, each
+    # step's tap window streams HBM->VMEM as block in_specs
+    # (bandwidth-bound) instead of XLA's serialized per-lane gathers
+    # (latency-bound). BIT-identical renders: in-window lanes replicate
+    # the exact op/draw chain in-kernel; window-miss lanes re-trace via
+    # the compacted XLA loop (modes.sample_volume_raymarch_tiled,
+    # pinned by tests/test_tilemarch.py). Engages only for mode ==
+    # "raymarch" on the camera bounce with a dense grid and a
+    # micro-tile-compatible chunk tiling; chunk lanes are then ordered
+    # micro-tile-major (a pure permutation — same estimator contract as
+    # tile_chunks). True forces (CPU interprets the kernel — tests).
+    tile_march: bool = False
+    # tile-march window geometry: (block z, neigh z, neigh y, neigh x);
+    # block is (bz, 16, 128) — sublane/lane dims pinned by bf16 VMEM
+    # tiling. Default window (24, 32, 128): the probe_tilequant.py knee
+    # (10.9% miss / 68 GB/frame at 1080p/512^3 filled).
+    tile_march_geom: tuple = (8, 3, 2, 1)
 
 
 def _mxu_on(config) -> bool:
@@ -372,8 +392,26 @@ def trace_path(
             return lookup_environment(env, directions)
         return lookup_environment_light(env, directions, light_dir)
 
+    from volxel_tpu.render.tilemarch import LANES as _TM_LANES
+
+    tile_march_on = (
+        config.tile_march
+        and config.mode == "raymarch"
+        and getattr(grid, "dense", None) is not None
+        and n % _TM_LANES == 0
+    )
+
     for bounce in range(config.bounces):
-        if config.compact_secondary and bounce > 0 and n >= COMPACT_MIN_LANES:
+        if tile_march_on and bounce == 0:
+            # camera wavefront: micro-tile-coherent (the tiling nests
+            # 32x12 micro-tiles when tile_march is on) — the one MC
+            # access pattern the bandwidth-bound kernel fits
+            bz, nz, ny, nx = config.tile_march_geom
+            state, hit, t, rgb, le_add = sample_volume_raymarch_tiled(
+                grid, params, lut, origin, direction, state, active,
+                bz=bz, neigh=(nz, ny, nx), finest=config.compact_finest,
+            )
+        elif config.compact_secondary and bounce > 0 and n >= COMPACT_MIN_LANES:
             # extension rays: most lanes are dead after bounce 1
             state, hit, t, rgb, le_add = _compacted_secondary(
                 lambda o, d, st, a: sample_volume(grid, params, lut, o, d, st, a),
@@ -667,12 +705,19 @@ def _effective_chunk_size(n: int, requested: int | None) -> int | None:
     return size if 1 < size < n else None
 
 
-def tile_dims(width: int, height: int, target: int) -> tuple[int, int] | None:
+def tile_dims(width: int, height: int, target: int,
+              multiple: tuple[int, int] | None = None) -> tuple[int, int] | None:
     """Pick (tw, th) with tw | width, th | height, tw*th <= target,
     maximizing area then squareness. None if no pair reaches >= target/2
-    (degenerate dims — band chunking is as good)."""
+    (degenerate dims — band chunking is as good). `multiple` additionally
+    constrains tw/th to multiples of (mw, mh) — used by tile_march to
+    nest whole micro-tiles inside each chunk tile."""
     div_w = [d for d in range(4, width + 1) if width % d == 0]
     div_h = [d for d in range(4, height + 1) if height % d == 0]
+    if multiple is not None:
+        mw, mh = multiple
+        div_w = [d for d in div_w if d % mw == 0]
+        div_h = [d for d in div_h if d % mh == 0]
     best = None
     for tw in div_w:
         for th in div_h:
@@ -699,7 +744,21 @@ def _tile_permutations(config: RenderConfig):
     if not config.tile_chunks or config.chunk_size is None:
         return None
     w, h = config.width, config.height
-    t = tile_dims(w, h, config.chunk_size)
+    micro = None
+    if config.tile_march and config.mode == "raymarch":
+        # nest whole 32x12 micro-tiles inside each chunk tile so a
+        # chunk reshapes to the tile-march kernel's (T, 384) wavefront
+        # with box-coherent tiles; still a pure permutation (same
+        # estimator contract as tile_chunks)
+        from volxel_tpu.render.tilemarch import LANES as _tm_lanes
+
+        micro = (32, _tm_lanes // 32)
+        t = tile_dims(w, h, config.chunk_size, multiple=micro)
+        if t is None:
+            micro = None
+            t = tile_dims(w, h, config.chunk_size)
+    else:
+        t = tile_dims(w, h, config.chunk_size)
     if t is None or t[0] * t[1] >= w * h:
         return None
     tw, th = t
@@ -708,11 +767,23 @@ def _tile_permutations(config: RenderConfig):
     j = jnp.arange(w * h, dtype=jnp.uint32)
     tile_id, within = j // area, j % area
     ty, tx = tile_id // tiles_x, tile_id % tiles_x
-    wy, wx = within // tw, within % tw
-    perm = (ty * th + wy) * w + tx * tw + wx
     i = j
     x, y = i % w, i // w
-    inv = ((y // th) * tiles_x + (x // tw)) * area + (y % th) * tw + (x % tw)
+    if micro is None:
+        wy, wx = within // tw, within % tw
+        within_inv = (y % th) * tw + (x % tw)
+    else:
+        mw, mh = micro
+        ma = mw * mh
+        micros_x = tw // mw
+        mid, mwi = within // ma, within % ma
+        wy = (mid // micros_x) * mh + mwi // mw
+        wx = (mid % micros_x) * mw + mwi % mw
+        lx, ly = x % tw, y % th
+        within_inv = ((ly // mh) * micros_x + (lx // mw)) * ma \
+            + (ly % mh) * mw + (lx % mw)
+    perm = (ty * th + wy) * w + tx * tw + wx
+    inv = ((y // th) * tiles_x + (x // tw)) * area + within_inv
     return perm, inv, area
 
 
