@@ -12,7 +12,7 @@ printed (was 73 s of eager tunnel compiles; should now be seconds).
 Protocol: NOTES.md ROUND-5 DISCOVERY — fetch first, then per-program
 walls (~33 ms RTT floor, negligible against multi-second frames).
 
-Usage: python examples/profile_filled.py [size [width height]]
+Usage: python examples/profile_filled.py [size [width height]] [--splits]
 """
 
 from __future__ import annotations
@@ -32,9 +32,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    size = int(_sys.argv[1]) if len(_sys.argv) > 1 else 512
-    width = int(_sys.argv[2]) if len(_sys.argv) > 2 else 1920
-    height = int(_sys.argv[3]) if len(_sys.argv) > 3 else 1080
+    args = [a for a in _sys.argv[1:] if not a.startswith("--")]
+    size = int(args[0]) if len(args) > 0 else 512
+    width = int(args[1]) if len(args) > 1 else 1920
+    height = int(args[2]) if len(args) > 2 else 1080
 
     @jax.jit
     def trivial(x):
@@ -91,8 +92,13 @@ def main() -> None:
         "no_env": config._replace(use_env=False),
         "no_ladder": config._replace(march_ladder=False),
         "no_dda": config._replace(mode="no_dda"),
-        "raymarch": config._replace(mode="raymarch"),
+        "raymarch": config._replace(mode="raymarch", tile_march=False),
+        "raymarch_tile": config._replace(mode="raymarch", tile_march=True),
     }
+    sel = [a.split("=", 1)[1] for a in _sys.argv if a.startswith("--arms=")]
+    if sel:
+        keep = sel[0].split(",")
+        arms = {k: v for k, v in arms.items() if k in keep}
     print(f"== filled config arms {width}x{height}/{size}^3", flush=True)
     for tag, cfg in arms.items():
         timed(tag, lambda c=cfg: run(c))
@@ -150,10 +156,11 @@ def main() -> None:
         return lambda: f(grid, params, lut, env, inv_view, inv_proj,
                          jnp.uint32(101))
 
-    print("== filled loop splits (camera wavefront only)", flush=True)
-    for mode in ("default", "no_dda", "raymarch"):
-        for which in ("sample", "transmittance"):
-            timed(f"{mode}/{which}", loop_only(mode, which))
+    if "--splits" in _sys.argv:
+        print("== filled loop splits (camera wavefront only)", flush=True)
+        for mode in ("default", "no_dda", "raymarch"):
+            for which in ("sample", "transmittance"):
+                timed(f"{mode}/{which}", loop_only(mode, which))
 
 
 if __name__ == "__main__":

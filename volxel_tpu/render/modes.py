@@ -1644,34 +1644,36 @@ def sample_volume_raymarch_tiled(
     hit_k = outf[:, tm.O_HIT].reshape(n) > 0.5
     t_k = outf[:, tm.O_T].reshape(n)
     rgb_k = jnp.moveaxis(outf[:, tm.O_R:tm.O_B + 1], 1, 2).reshape(n, 3)
-    missed = outf[:, tm.O_MISS].reshape(n) > 0.5
+    # O_MISS = freeze step + 1 (0 = clean): the lane froze BEFORE
+    # consuming that step's draws, so outs/O_TAU hold its exact mid-ray
+    # state and the fallback RESUMES from there (cost ~ remaining steps
+    # of missed lanes, not a full re-trace)
+    miss_step = outf[:, tm.O_MISS].reshape(n)
+    missed = miss_step > 0.5
+    i0 = jnp.maximum(miss_step - 1.0, 0.0)
+    tau0 = outf[:, tm.O_TAU].reshape(n)
     state_k = jnp.moveaxis(outs, 1, 2).reshape(n, 4).astype(state_snap.dtype)
 
-    # ---- serialized fallback for the missed lanes, width-compacted ----
+    # ---- resume fallback for the frozen lanes, width-compacted ----
     order, _ = _partition_perm(missed)
     cnt = jnp.sum(missed.astype(jnp.int32))
     fpack = jnp.concatenate(
         [ipos, idir, start[:, None], dt[:, None], far[:, None],
-         tau_target[:, None]], axis=1,
-    )[order]  # (n, 12)
+         tau_target[:, None], i0[:, None], tau0[:, None]], axis=1,
+    )[order]  # (n, 14)
     m_s = missed[order]
-    st_s = state_snap[order]
+    st_s = state_k[order]
 
     def run_at(w):
         def f(_):
             ip, idr = fpack[:w, 0:3], fpack[:w, 3:6]
             st_, dt_ = fpack[:w, 6], fpack[:w, 7]
             fr, tt = fpack[:w, 8], fpack[:w, 9]
-            cond, body = _raymarch_loop(
-                grid, params, lut, ip, idr, st_, dt_, fr, tt, None
+            i_l, ta = fpack[:w, 10], fpack[:w, 11]
+            stf, hitf, t_of, rgbf = _raymarch_resume(
+                grid, params, lut, ip, idr, st_, dt_, fr, tt,
+                st_s[:w], m_s[:w], i_l, ta,
             )
-            zf = jnp.zeros((w,), jnp.float32)
-            final = jax.lax.while_loop(
-                cond, body,
-                (st_s[:w], m_s[:w], zf, jnp.zeros((w,), jnp.bool_), zf,
-                 jnp.ones((w, 3), jnp.float32), jnp.int32(0)),
-            )
-            stf, _, _, hitf, t_of, rgbf = final[:6]
             pad = n - w
             return (
                 jnp.concatenate([stf, st_s[w:]]),
@@ -1694,6 +1696,46 @@ def sample_volume_raymarch_tiled(
     rgb_out = jnp.where(missed[:, None], rgb_f, rgb_k)
     le_add = jnp.zeros((n, 3), jnp.float32)
     return state, hit, t_out, rgb_out, le_add
+
+
+def _raymarch_resume(grid, params, lut, ipos, idir, start, dt, far,
+                     tau_target, state, resumed, i0, tau0):
+    """Resume sample_volume_raymarch's step loop mid-ray: each lane
+    continues from its own step index i0 with its frozen (state, tau).
+    The op/draw chain per step replicates _raymarch_loop exactly (the
+    per-lane f32 step index is the same value the scalar counter
+    broadcasts), so resumed lanes are bit-equal to a pure-XLA trace.
+    Returns (state, hit, t_out, rgb_out)."""
+    n = ipos.shape[0]
+    marching0 = resumed & (i0 < RAYMARCH_STEPS)
+
+    def cond(carry):
+        return jnp.any(carry[1])
+
+    def body(carry):
+        state, marching, tau, hit, t_out, rgb_out, i_l = carry
+        t = jnp.minimum(start + i_l * dt, far)
+        state, d_raw = lookup_density_stochastic(
+            grid, params, ipos + t[..., None] * idir, state, mask=marching
+        )
+        rgba = lookup_transfer(lut, params.sample_range, d_raw * params.inv_maj,
+                               mxu=getattr(grid, "lut_mxu", None))
+        tau_new = tau + rgba[..., 3] * params.vol_maj * dt
+        new_hit = marching & (tau_new >= tau_target)
+        hit = hit | new_hit
+        t_out = jnp.where(new_hit, t, t_out)
+        rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
+        tau = jnp.where(marching, tau_new, tau)
+        i_l = jnp.where(marching, i_l + 1.0, i_l)
+        marching = marching & ~new_hit & (i_l < RAYMARCH_STEPS)
+        return (state, marching, tau, hit, t_out, rgb_out, i_l)
+
+    final = jax.lax.while_loop(
+        cond, body,
+        (state, marching0, tau0, jnp.zeros((n,), jnp.bool_),
+         jnp.zeros((n,), jnp.float32), jnp.ones((n, 3), jnp.float32), i0),
+    )
+    return final[0], final[3], final[4], final[5]
 
 
 def transmittance_raymarch(grid, params, lut, origin, direction, state, active):

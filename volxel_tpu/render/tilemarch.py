@@ -206,6 +206,35 @@ def _dense_block_specs(bz: int, neigh):
             for zo in range(nz) for yo in range(ny) for xo in range(nx)]
 
 
+
+# tiles per pallas_call: the scalar-prefetch corner table
+# ((TILE_BATCH, steps, 4) int32) must fit SMEM — the on-chip bisect
+# measured the compile helper crashing between 24 KB and 32 KB of
+# prefetch (T=24/S=64 OK, T=32/S=64 HTTP 500; any (T, S) split at
+# 16 KB OK). 16 tiles x 64 steps = 16 KB. lax.map over tile batches
+# keeps every call at that size regardless of frame size.
+TILE_BATCH = 16
+
+
+def _batched_tiles(call, ntiles: int, tile_batch: int, arrays):
+    """lax.map `call` over tile batches; arrays are (T, ...) operands
+    split on dim 0; padding tiles are trimmed from each output."""
+    tb = min(tile_batch, ntiles)
+    nb = -(-ntiles // tb)
+    padded = nb * tb
+
+    def pad(x):
+        if padded == ntiles:
+            return x
+        widths = [(0, padded - ntiles)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    batched = tuple(pad(x).reshape((nb, tb) + x.shape[1:]) for x in arrays)
+    outs = jax.lax.map(call, batched)
+    return tuple(
+        o.reshape((padded,) + o.shape[2:])[:ntiles] for o in outs)
+
+
 def _sums_kernel_factory(bz: int, neigh, steps: int, lanes: int):
     nblk = neigh[0] * neigh[1] * neigh[2]
 
@@ -276,9 +305,10 @@ def tile_march_sums(
     ntiles, _, lanes = rays.shape
     kernel = _sums_kernel_factory(bz, neigh, steps, lanes)
     nblk = neigh[0] * neigh[1] * neigh[2]
+    tb = min(TILE_BATCH, ntiles)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles, steps),
+        grid=(tb, steps),
         in_specs=[
             pl.BlockSpec((1, 4), lambda t, s, cb: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -292,15 +322,20 @@ def tile_march_sums(
                          memory_space=pltpu.VMEM),
         ],
     )
-    sums, miss = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=gs,
         out_shape=[
-            jax.ShapeDtypeStruct((ntiles, 1, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, 1, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((tb, 1, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((tb, 1, lanes), jnp.int32),
         ],
         interpret=bool(interpret),
-    )(cb, ext4.reshape(1, 4), rays, *([dense] * nblk))
+    )
+    sums, miss = _batched_tiles(
+        lambda args: call(args[0], ext4.reshape(1, 4), args[1],
+                          *([dense] * nblk)),
+        ntiles, TILE_BATCH, (cb, rays),
+    )
     return sums[:, 0, :], miss[:, 0, :]
 
 
@@ -466,14 +501,45 @@ def _sample_kernel_factory(bz: int, neigh, steps: int, lut_k: int,
                 return w0, w1, w2, w3
 
             t = jnp.minimum(start + s_idx.astype(jnp.float32) * dt, far)
-            # stochastic_tricubic_offsets: p = pos - 0.5, reservoir over
-            # taps 1..3 per axis, 9 masked draws in rng3 groups
             px_ = ipx + t * dxr - 0.5
             py_ = ipy + t * dyr - 0.5
             pz_ = ipz + t * dzr - 0.5
             fx_ = jnp.floor(px_)
             fy_ = jnp.floor(py_)
             fz_ = jnp.floor(pz_)
+
+            # FREEZE-BEFORE-DRAWS: if this step's full (volume-clipped)
+            # tricubic support [f-1, f+2] is not inside the window, the
+            # lane freezes NOW — before consuming any of the step's
+            # draws — recording its step in O_MISS (step+1; 0 = clean).
+            # The caller's fallback then RESUMES the march from exactly
+            # this step with the recorded state/tau, so the re-trace
+            # costs only the remaining steps and stays bit-equal to the
+            # pure-XLA lane (the support check is conservative: any tap
+            # the reservoir could choose is available when it passes).
+            bxi = fx_.astype(jnp.int32)
+            byi = fy_.astype(jnp.int32)
+            bzi = fz_.astype(jnp.int32)
+            z0 = cb_ref[t_idx, s_idx, 0] * bz
+            y0 = cb_ref[t_idx, s_idx, 1] * BY
+            x0 = cb_ref[t_idx, s_idx, 2] * BX
+            nz_, ny_, nx_ = neigh
+
+            def sup_in(lo, hi, w0, wn, e):
+                lo = jnp.clip(lo, 0, e - 1)
+                hi = jnp.clip(hi, 0, e - 1)
+                return (lo >= w0) & (hi < w0 + wn)
+
+            support_ok = (
+                sup_in(bxi - 1, bxi + 2, x0, nx_ * BX, ex)
+                & sup_in(byi - 1, byi + 2, y0, ny_ * BY, ey)
+                & sup_in(bzi - 1, bzi + 2, z0, nz_ * bz, ez)
+            )
+            new_miss = marching & ~support_ok
+            live = marching & support_ok
+
+            # stochastic_tricubic_offsets: p = pos - 0.5, reservoir over
+            # taps 1..3 per axis, 9 masked draws in rng3 groups
             wx = cubic_weights(px_ - fx_)
             wy = cubic_weights(py_ - fy_)
             wz = cubic_weights(pz_ - fz_)
@@ -486,21 +552,21 @@ def _sample_kernel_factory(bz: int, neigh, steps: int, lut_k: int,
                 sw_x = sw_x + wx[k]
                 sw_y = sw_y + wy[k]
                 sw_z = sw_z + wz[k]
-                st_loc, (ra, rb, rc) = _k_rng3_where(marching, st_loc)
+                st_loc, (ra, rb, rc) = _k_rng3_where(live, st_loc)
                 ix = jnp.where(ra < wx[k] / jnp.maximum(1e-3, sw_x), k, ix)
                 iy = jnp.where(rb < wy[k] / jnp.maximum(1e-3, sw_y), k, iy)
                 iz = jnp.where(rc < wz[k] / jnp.maximum(1e-3, sw_z), k, iz)
-            ux = fx_.astype(jnp.int32) + ix - 1
-            uy = fy_.astype(jnp.int32) + iy - 1
-            uz = fz_.astype(jnp.int32) + iz - 1
+            ux = bxi + ix - 1
+            uy = byi + iy - 1
+            uz = bzi + iz - 1
 
             inside = (
                 (ux >= 0) & (ux < ex) & (uy >= 0) & (uy < ey)
                 & (uz >= 0) & (uz < ez)
             )
-            tapv, inwin = _window_tap(
+            tapv, _ = _window_tap(
                 blocks, cb_ref, t_idx, s_idx, ux, uy, uz,
-                marching & inside, bz, neigh, lanes)
+                live & inside, bz, neigh, lanes)
             d_raw = den_scale * jnp.where(inside, tapv, 0.0)
 
             # lookup_transfer (common.glsl:78-83)
@@ -524,11 +590,7 @@ def _sample_kernel_factory(bz: int, neigh, steps: int, lut_k: int,
             alpha = jnp.where(rejected, 0.0, rgba[3:4])
 
             tau_new = tau + alpha * vol_maj * dt
-            new_hit = marching & (tau_new >= tau_target)
-            # a marching lane whose in-volume tap left the window is
-            # POISONED: its value, and every draw after it, may be wrong
-            # — flag it for the caller's serialized fallback
-            missed = missed | (marching & inside & ~inwin)
+            new_hit = live & (tau_new >= tau_target)
 
             outf_ref[0, O_T:O_T + 1] = jnp.where(
                 new_hit, t, outf_ref[0, O_T:O_T + 1])
@@ -543,10 +605,14 @@ def _sample_kernel_factory(bz: int, neigh, steps: int, lut_k: int,
                 outf_ref[0, O_B:O_B + 1])
             outf_ref[0, O_HIT:O_HIT + 1] = jnp.maximum(
                 outf_ref[0, O_HIT:O_HIT + 1], new_hit.astype(jnp.float32))
-            outf_ref[0, O_MISS:O_MISS + 1] = missed.astype(jnp.float32)
-            outf_ref[0, O_TAU:O_TAU + 1] = jnp.where(marching, tau_new, tau)
+            # O_MISS records the FREEZE STEP + 1 (0 = never missed); a
+            # lane freezes at most once (marching drops to 0 with it)
+            outf_ref[0, O_MISS:O_MISS + 1] = jnp.where(
+                new_miss, s_idx.astype(jnp.float32) + 1.0,
+                jnp.where(missed, outf_ref[0, O_MISS:O_MISS + 1], 0.0))
+            outf_ref[0, O_TAU:O_TAU + 1] = jnp.where(live, tau_new, tau)
             outf_ref[0, O_MARCH:O_MARCH + 1] = (
-                (marching & ~new_hit).astype(jnp.float32))
+                (live & ~new_hit).astype(jnp.float32))
             s0n, s1n, s2n, s3n = st_loc
             outs_ref[0] = jnp.concatenate([s0n, s1n, s2n, s3n], axis=0)
 
@@ -573,9 +639,10 @@ def tile_march_sample(
     lut_k = lut_t.shape[1]
     kernel = _sample_kernel_factory(bz, neigh, steps, lut_k, lanes)
     nblk = neigh[0] * neigh[1] * neigh[2]
+    tb = min(TILE_BATCH, ntiles)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles, steps),
+        grid=(tb, steps),
         in_specs=[
             pl.BlockSpec((1, 4), lambda t, s, cb: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -595,13 +662,17 @@ def tile_march_sample(
                          memory_space=pltpu.VMEM),
         ],
     )
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=gs,
         out_shape=[
-            jax.ShapeDtypeStruct((ntiles, 8, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, 4, lanes), jnp.uint32),
+            jax.ShapeDtypeStruct((tb, 8, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((tb, 4, lanes), jnp.uint32),
         ],
         interpret=bool(interpret),
-    )(cb, ext4.reshape(1, 4), scalars.reshape(1, 8), rays, state4, lut_t,
-      *([dense] * nblk))
+    )
+    return _batched_tiles(
+        lambda args: call(args[0], ext4.reshape(1, 4), scalars.reshape(1, 8),
+                          args[1], args[2], lut_t, *([dense] * nblk)),
+        ntiles, TILE_BATCH, (cb, rays, state4),
+    )
