@@ -223,9 +223,11 @@ class RenderConfig(NamedTuple):
     tile_march: bool = False
     # tile-march window geometry: (block z, neigh z, neigh y, neigh x);
     # block is (bz, 16, 128) — sublane/lane dims pinned by bf16 VMEM
-    # tiling. Default window (24, 32, 128): the probe_tilequant.py knee
-    # (10.9% miss / 68 GB/frame at 1080p/512^3 filled).
-    tile_march_geom: tuple = (8, 3, 2, 1)
+    # tiling. Default window (24, 32, 256): 12.3% lane freeze / kernel
+    # 0.574 s for the whole 1080p/512^3 filled wavefront vs the XLA
+    # sample leg's 2.60 s (examples/probe_tileprod.py, optimal anchor);
+    # the 128-wide window is a LOSS (58% freeze -> resume dominates).
+    tile_march_geom: tuple = (8, 3, 2, 2)
 
 
 def _mxu_on(config) -> bool:
