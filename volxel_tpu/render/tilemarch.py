@@ -27,10 +27,12 @@ r5/r10 pricing); this kernel replaces them with a dense window select:
      one nonzero 1.0 x bf16 product accumulated in f32 is EXACT, so
      taps are bit-equal to dense[z, y, x].astype(f32).
 
-Lanes whose tap falls outside their tile's window (or the volume: OOB
-taps are 0 by the reference rule and never misses) report a miss; the
-caller falls back to the serialized gather for those lanes — identical
-estimator either way, this is purely a bandwidth-vs-latency path.
+A lane whose step's (volume-clipped) tap support leaves the window
+FREEZES before consuming that step's draws, recording the step; the
+caller RESUMES it mid-ray through the XLA loop from the frozen
+(state, tau, step) — bit-identical either way, and the re-trace costs
+only the remaining steps of frozen lanes. OOB-of-volume taps are 0 by
+the reference rule and never freeze.
 
 Ref: raymarch.glsl:6-23 (the step loop), performance.txt:20-26.
 Geometry/economics: NOTES.md round-12 tile-march entries.
@@ -49,9 +51,10 @@ LANES = 384  # 32x12-pixel micro-tile
 STEPS = 64  # RAYMARCH_STEPS (raymarch.glsl:6)
 
 # block shape (BZ, BY, BX): BY/BX pinned by bf16 VMEM tiling (sublane
-# mult of 16, lane mult of 128); BZ free. Default neighborhood (3, 2, 1)
-# -> window (24, 32, 128): 10.9% miss / 68 GB/frame / 13 TMAC select at
-# 1080p/512^3 filled (probe_tilequant.py) — the measured knee.
+# mult of 16, lane mult of 128); BZ free. Default neighborhood (3, 2, 2)
+# -> window (24, 32, 256): 12.3% lane freeze, kernel 0.574 s for the
+# whole 1080p/512^3 filled wavefront (examples/probe_tileprod.py) —
+# 128-wide windows freeze 58% of lanes and lose end-to-end.
 BY = 16
 BX = 128
 
