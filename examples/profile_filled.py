@@ -94,6 +94,8 @@ def main() -> None:
         "no_dda": config._replace(mode="no_dda"),
         "raymarch": config._replace(mode="raymarch", tile_march=False),
         "raymarch_tile": config._replace(mode="raymarch", tile_march=True),
+        "raymarch_tile_csec": config._replace(
+            mode="raymarch", tile_march=True, compact_secondary=True),
     }
     sel = [a.split("=", 1)[1] for a in _sys.argv if a.startswith("--arms=")]
     if sel:

@@ -70,6 +70,7 @@ class Renderer:
         quad_decode: bool = False,
         octo_decode: bool | str = "auto",
         tile_march: bool | str = "auto",
+        compact_secondary: bool | str = "auto",
         settings: ViewerSettings | None = None,
     ):
         self.width = int(width)
@@ -134,6 +135,16 @@ class Renderer:
         # the serialized-gather latency wall; CPU interprets it many
         # times slower); True forces it for tests.
         self.tile_march = tile_march
+        # sort + width-compact the NEE/extension wavefronts
+        # (RenderConfig.compact_secondary). "auto" = ON for raymarch
+        # mode only: its transmittance loop runs all 64 steps
+        # unconditionally (no early exit in raymarch.glsl), so dead
+        # width is paid in full — measured -24.5% (4.27 -> 3.22
+        # s/sample, 1080p/512^3 filled, examples/profile_filled.py
+        # raymarch_tile_csec arm). For the early-exit DDA/tracking
+        # loops the march ladder already narrows in-loop and the flag
+        # measured a wash-to-loss (NOTES r9), so "auto" keeps it OFF.
+        self.compact_secondary = compact_secondary
         self.settings = settings or ViewerSettings()
 
         self.camera = Camera(1.0)
@@ -439,6 +450,11 @@ class Renderer:
             physical_majorant=bool(self.settings.physical_majorant),
             physical_pdf=bool(self.settings.physical_pdf),
             premul_majorant=self.premul_majorant,
+            compact_secondary=(
+                self.settings.render_mode == "raymarch"
+                if self.compact_secondary == "auto"
+                else bool(self.compact_secondary)
+            ),
             compact_decode=self.compact_decode,
             march_ladder=self.march_ladder,
             mxu_gather=self._resolve_mxu_gather(),
