@@ -96,6 +96,7 @@ def main() -> None:
         "raymarch_tile": config._replace(mode="raymarch", tile_march=True),
         "raymarch_tile_csec": config._replace(
             mode="raymarch", tile_march=True, compact_secondary=True),
+        "no_dda_csec": config._replace(mode="no_dda", compact_secondary=True),
     }
     sel = [a.split("=", 1)[1] for a in _sys.argv if a.startswith("--arms=")]
     if sel:
