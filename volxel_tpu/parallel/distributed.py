@@ -34,6 +34,11 @@ class DistributedRenderer(Renderer):
         vz_tap_dtype: str = "float32",
         **kwargs,
     ):
+        # tile_march stays OFF under sharding unless explicitly forced:
+        # the pipelined kernel inside shard_map is untested on real
+        # multi-chip topologies (single-chip tunnel here), and the
+        # sharded paths' bit-identity contract is load-bearing
+        kwargs.setdefault("tile_march", False)
         super().__init__(*args, **kwargs)
         self.mesh = mesh if mesh is not None else make_mesh(sp=sp, px=px, vz=vz)
         self.sp = self.mesh.shape["sp"]
