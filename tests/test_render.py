@@ -715,7 +715,9 @@ def test_partition_perm_matches_argsort():
     from volxel_tpu.render.modes import _inverse_perm, _partition_perm
 
     rng = np.random.default_rng(17)
-    for n in (1, 7, 256, 4096):
+    # 12960 rides the MXU cumsum (_cumsum_mxu) at a production-like
+    # non-multiple-of-128 width; 1025 is the engagement boundary + 1
+    for n in (1, 7, 256, 1025, 4096, 12960):
         for p in (0.0, 0.03, 0.5, 0.97, 1.0):
             mask = jnp.asarray(rng.random(n) < p)
             order, inv = _partition_perm(mask)

@@ -201,14 +201,43 @@ def _width_ladder(cnt, widths, case_at, full_case, operand):
     return build(0)(operand)
 
 
+def _cumsum_mxu(x):
+    """Inclusive cumsum of a 1D f32 vector of exact integers (< 2^24) as
+    triangular MXU dots: reshape (m, 128), one (128, 128) upper-triangular
+    dot for within-row prefixes, recurse on the m row totals. XLA TPU
+    lowers jnp.cumsum as a serialized scan (~14.5 ns/element — 1.9 ms at
+    131k lanes, NOTES r5 profile); the dot form is a handful of MXU
+    passes. Exact: inputs and the 0/1 triangle are combined at
+    precision=HIGHEST (f32-exact products), accumulation is f32, and
+    every partial sum stays an integer < 2^24."""
+    n = x.shape[0]
+    if n <= 256:
+        return jnp.cumsum(x)
+    pad = (-n) % 128
+    xp = jnp.pad(x, (0, pad)).reshape(-1, 128)
+    tri = (
+        jnp.arange(128, dtype=jnp.int32)[:, None]
+        <= jnp.arange(128, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    pre = jnp.dot(xp, tri, precision=jax.lax.Precision.HIGHEST)
+    rows = pre[:, -1]
+    offs = _cumsum_mxu(rows) - rows  # exclusive row offsets
+    return (pre + offs[:, None]).reshape(-1)[:n]
+
+
 def _partition_perm(mask):
     """(order, inv) of the stable mask-first partition — the IDENTICAL
     permutation to order = argsort(~mask, stable), inv = argsort(order),
     built from ONE cumsum + one scatter instead of two sorts (XLA TPU
     sorts cost ~2.9 ms/131k lanes vs cumsum 1.9 — NOTES r5 profile;
-    every compaction site pays this every engagement)."""
+    every compaction site pays this every engagement). Above 1024 lanes
+    the cumsum itself rides the MXU (_cumsum_mxu — bit-exact, integer
+    math)."""
     n = mask.shape[0]
-    c = jnp.cumsum(mask.astype(jnp.int32))
+    if n > 1024:
+        c = _cumsum_mxu(mask.astype(jnp.float32)).astype(jnp.int32)
+    else:
+        c = jnp.cumsum(mask.astype(jnp.int32))
     iota = jnp.arange(n, dtype=jnp.int32)
     inv = jnp.where(mask, c - 1, c[-1] + iota - c)
     order = jnp.zeros((n,), jnp.int32).at[inv].set(iota, unique_indices=True)
