@@ -63,11 +63,12 @@ def main() -> None:
     pos_sorted = pos_rand[key]
     # tile-like: cluster lanes into 384-lane groups spanning ~13x10x12
     # voxels (probe_tilequant's p50 tap-support bbox)
-    centers = rng.random((n // 384, 3), np.float32) * (ext - 16.0) + 8.0
-    jit = rng.random((n // 384, 384, 3), np.float32) * np.array(
+    ng = -(-n // 384)  # ceil: slice back to n below
+    centers = rng.random((ng, 3), np.float32) * (ext - 16.0) + 8.0
+    jit = rng.random((ng, 384, 3), np.float32) * np.array(
         [13, 10, 12], np.float32
     )
-    pos_tile = (centers[:, None, :] + jit).reshape(n, 3).astype(np.float32)
+    pos_tile = (centers[:, None, :] + jit).reshape(-1, 3)[:n].astype(np.float32)
 
     def make(mip):
         def step(mask, pos):
