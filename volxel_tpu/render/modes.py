@@ -748,6 +748,173 @@ def sample_volume_dda_compact(
     return state, opack[:, 4] > 0.5, opack[:, 0], opack[:, 1:4], le_add
 
 
+def sample_volume_dda_pyr(
+    grid, params, lut, origin, direction, state, active,
+    majorant_envelope: bool = False, spatial_decode: bool = False,
+    finest: int | None = None,
+):
+    """DDA distance sampling with the march INSIDE a Pallas kernel
+    (render.pyrmarch): the premul majorant pyramid stays VMEM-resident
+    and each lane marches to its next collision candidate at in-kernel
+    fetch cost (~6.9 ns/lane-step vs XLA's flat ~14.6 ns serialized
+    gather — NOTES.md rounds 9/13), parking there. This outer loop then
+    runs per COLLISION round — decode + draws for the parked lanes,
+    exactly the op/draw chain of _sample_compact_loop's collision arm —
+    and re-enters the kernel. Per-lane op + RNG-draw sequences are
+    UNCHANGED (kernel steps are bit-equal to the XLA march; draws are
+    per-lane state functions), so renders are bit-identical to
+    sample_volume_dda below COMPACT_DECODE_MIN_LANES and carry the same
+    compacted-decode ulp realization contract above it. Per-lane step
+    budgets reproduce the global DDA_SAMPLE_MAX_STEPS cap exactly
+    (every running lane participates in every iteration of the
+    single-loop form, so personal and global counts coincide).
+
+    Requires grid.maj_pyr (+ maj_alpha for shape/decode); the caller
+    gates on that (pathtrace._pyr_engaged). No shrink ladder: blocks of
+    pyrmarch.LANES exit the in-kernel loop as soon as their own lanes
+    park, a finer-grained width adaptation than the global rungs.
+    """
+    from volxel_tpu.render.pyrmarch import KIND_COLL, KIND_DONE, pyr_march
+
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+    ri = 1.0 / idir
+
+    state, xi = rng_where(active & hit_box, state)
+    t0 = near + 1e-6
+    tau0 = -jnp.log(1.0 - xi)
+    running0 = active & hit_box & (t0 < far)
+
+    n = origin.shape[0]
+    pyr_shape = tuple(grid.maj_alpha.shape)
+
+    def cond(carry):
+        return jnp.any(carry[4])
+
+    def body(carry):
+        state, t, tau, mip, running, hit, rgb_out, budget = carry
+        t, tau, mip, maj, kind, budget = pyr_march(
+            grid.maj_pyr, pyr_shape, grid.extent, ipos, idir, ri,
+            t, tau, mip, far, budget, running, DDA_SAMPLE_MAX_STEPS,
+        )
+        coll_live = running & (jnp.abs(kind - KIND_COLL) < 0.5)
+        done = running & (jnp.abs(kind - KIND_DONE) < 0.5)
+
+        rgba = _compact_decode_rgba(
+            grid, params, lut, ipos + t[..., None] * idir, coll_live,
+            spatial_decode, finest,
+        )
+        d = params.vol_maj * rgba[..., 3]
+        state, xi1 = rng_where(coll_live, state)
+        real = xi1 * maj < d
+        state, xi2 = rng_where(coll_live & ~real, state)
+        tau = jnp.where(coll_live & ~real, -jnp.log(1.0 - xi2), tau)
+        mip = jnp.where(
+            coll_live & ~real, jnp.maximum(0.0, mip - MIP_SPEED_DOWN), mip
+        )
+        new_hit = coll_live & real
+        rgb_out = jnp.where(new_hit[..., None], rgba[..., :3], rgb_out)
+        hit = hit | new_hit
+        running = running & ~new_hit & ~done
+        return (state, t, tau, mip, running, hit, rgb_out, budget)
+
+    init = (
+        state,
+        t0,
+        tau0,
+        jnp.full((n,), MIP_START, jnp.float32),
+        running0,
+        jnp.zeros((n,), jnp.bool_),
+        jnp.ones((n, 3), jnp.float32),
+        jnp.full((n,), DDA_SAMPLE_MAX_STEPS, jnp.float32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    state, t, hit, rgb = final[0], final[1], final[5], final[6]
+    return state, hit, t, rgb, jnp.zeros((n, 3), jnp.float32)
+
+
+def transmittance_dda_pyr(
+    grid, params, lut, origin, direction, state, active,
+    physical: bool = False, majorant_envelope: bool = False,
+    spatial_decode: bool = False, finest: int | None = None,
+):
+    """transmittance_dda_compact with the march in-kernel — the
+    sample_volume_dda_pyr structure applied to the ratio-tracking
+    shadow/camera transmittance loop (dda.glsl:21-62 draw protocol:
+    real collisions keep marching with a redrawn tau; RR under 0.1)."""
+    from volxel_tpu.render.pyrmarch import KIND_COLL, KIND_DONE, pyr_march
+
+    hit_box, near, far = ray_box_intersection(
+        Rays(origin, direction), params.aabb_lo, params.aabb_hi
+    )
+    ipos, idir = _to_index_space(params, origin, direction)
+    ri = 1.0 / idir
+
+    state, xi = rng_where(active & hit_box, state)
+    t0 = near + 1e-6
+    tau0 = -jnp.log(1.0 - xi)
+    running0 = active & hit_box & (t0 < far)
+
+    n = origin.shape[0]
+    pyr_shape = tuple(grid.maj_alpha.shape)
+
+    def cond(carry):
+        return jnp.any(carry[4])
+
+    def body(carry):
+        state, t, tau, mip, running, tr, budget = carry
+        t, tau, mip, maj, kind, budget = pyr_march(
+            grid.maj_pyr, pyr_shape, grid.extent, ipos, idir, ri,
+            t, tau, mip, far, budget, running,
+            DDA_TRANSMITTANCE_MAX_STEPS,
+        )
+        check = running & (jnp.abs(kind - KIND_COLL) < 0.5)
+        done = running & (jnp.abs(kind - KIND_DONE) < 0.5)
+
+        rgba = _compact_decode_rgba(
+            grid, params, lut, ipos + t[..., None] * idir, check,
+            spatial_decode, finest,
+        )
+        d = params.vol_maj * rgba[..., 3]
+        state, xi1 = rng_where(check, state)
+        real = xi1 * maj < d
+
+        if physical:
+            ratio = jnp.maximum(0.0, 1.0 - d / jnp.maximum(maj, 1e-20))
+        else:
+            ratio = jnp.maximum(
+                0.0, 1.0 - params.vol_maj / jnp.maximum(maj, 1e-20)
+            )
+        tr_new = jnp.where(check & real, tr * ratio, tr)
+        rr_active = check & real & (tr_new < 0.1)
+        state, xi_rr = rng_where(rr_active, state)
+        killed = rr_active & (xi_rr < (1.0 - tr_new))
+        tr_new = jnp.where(
+            rr_active & ~killed, tr_new / jnp.maximum(tr_new, 1e-20), tr_new
+        )
+        tr = jnp.where(killed, 0.0, tr_new)
+
+        state, xi2 = rng_where(check & ~killed, state)
+        tau = jnp.where(check, -jnp.log(1.0 - xi2), tau)
+        mip = jnp.where(check, jnp.maximum(0.0, mip - MIP_SPEED_DOWN), mip)
+        running = running & ~killed & ~done
+        return (state, t, tau, mip, running, tr, budget)
+
+    init = (
+        state,
+        t0,
+        tau0,
+        jnp.full((n,), MIP_START, jnp.float32),
+        running0,
+        jnp.ones((n,), jnp.float32),
+        jnp.full((n,), DDA_TRANSMITTANCE_MAX_STEPS, jnp.float32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[0], final[5]
+
+
 def _transmittance_compact_loop(
     grid, params, lut, ipos, idir, far, next_w, physical,
     majorant_envelope, with_stats, spatial=False, finest=None,
@@ -1812,6 +1979,7 @@ def get_mode_functions(
     march_ladder: bool = False,
     ladder_factor: int = 4,
     compact_finest: int | None = None,
+    pyr_march: bool = False,
 ):
     """Mode dispatch with the optional physical-transmittance and
     physical-majorant extensions (both default-mode only — the other
@@ -1857,6 +2025,22 @@ def get_mode_functions(
             transmittance_simple, compact=simple_compact, ladder=lad,
             finest=compact_finest,
         )
+    if mode == "default" and pyr_march:
+        # in-kernel pyramid march (render.pyrmarch): the caller has
+        # verified grid.maj_pyr exists (pathtrace._pyr_engaged). The
+        # shrink ladder is structurally replaced by per-block kernel
+        # exits; decode compaction keys carry over.
+        spatial = compact_decode == "loop-spatial"
+        sample_volume = functools.partial(
+            sample_volume_dda_pyr, spatial_decode=spatial,
+            finest=compact_finest, majorant_envelope=physical_majorant,
+        )
+        transmittance = functools.partial(
+            transmittance_dda_pyr, spatial_decode=spatial,
+            finest=compact_finest, physical=physical_shadows,
+            majorant_envelope=physical_majorant,
+        )
+        return sample_volume, transmittance
     if mode == "default":
         if compact_decode in (True, "loop", "loop-spatial"):
             # "loop-spatial": the compacted decode's sort key becomes the

@@ -228,6 +228,20 @@ class RenderConfig(NamedTuple):
     # sample leg's 2.60 s (examples/probe_tileprod.py, optimal anchor);
     # the 128-wide window is a LOSS (58% freeze -> resume dominates).
     tile_march_geom: tuple = (8, 3, 2, 2)
+    # default mode: run the DDA march loop INSIDE a Pallas kernel with
+    # the compact premul pyramid VMEM-resident (render.pyrmarch) — each
+    # lane marches to its next collision candidate at in-kernel one-hot
+    # MXU fetch cost (~6.9 ns/lane-step, examples/probe_march_kernel.py)
+    # instead of XLA's flat ~14.6 ns/lane-step serialized gather
+    # (examples/probe_gatherloc.py), parking at collisions; the XLA
+    # loop becomes per-collision rounds (decode + draws). Same per-lane
+    # op + draw protocol — bit-identical below
+    # modes.COMPACT_DECODE_MIN_LANES, the compacted-decode ulp contract
+    # above (pinned by tests/test_pyrmarch.py). Requires
+    # premul_majorant and a pyramid within pyrmarch.PYR_MAX_ENTRIES.
+    # True forces (CPU interprets the kernel — tests); default OFF
+    # pending the chip A/B (examples/ab_pyr.py).
+    pyr_march: bool = False
 
 
 def _mxu_on(config) -> bool:
@@ -237,6 +251,21 @@ def _mxu_on(config) -> bool:
     if config.mxu_gather is False:
         return False
     return config.mxu_gather is True or _jax.default_backend() == "tpu"
+
+
+def _pyr_engaged(config, grid) -> bool:
+    """Static (trace-time) gate for the in-kernel pyramid march: default
+    mode with the premul pyramid present and VMEM-small."""
+    from volxel_tpu.render.pyrmarch import PYR_MAX_ENTRIES
+    from volxel_tpu.render.sampling import _compact_pyramid_dims
+
+    if not config.pyr_march or config.mode != "default":
+        return False
+    if getattr(grid, "maj_mips", None) is None:
+        return False
+    dims, offsets = _compact_pyramid_dims(grid.maj_mips.shape)
+    total = offsets[-1] + dims[-1][0] * dims[-1][1] * dims[-1][2]
+    return total <= PYR_MAX_ENTRIES
 
 
 def _mxu_gather_engaged(config, grid) -> bool:
@@ -380,6 +409,7 @@ def trace_path(
         march_ladder=config.march_ladder,
         ladder_factor=config.ladder_factor,
         compact_finest=config.compact_finest,
+        pyr_march=getattr(grid, "maj_pyr", None) is not None,
     )
     n = origin.shape[0]
 
@@ -594,11 +624,18 @@ def render_pixels(
             grid.maj_mips, params, lut, config.physical_majorant
         )
         maj_mxu = None
+        maj_pyr = None
         if _mxu_gather_engaged(config, grid):
             from volxel_tpu.render.sampling import pack_premul_pyramid
 
             maj_mxu = pack_premul_pyramid(maj_alpha)
-        grid = grid._replace(maj_alpha=maj_alpha, maj_mxu=maj_mxu)
+        if _pyr_engaged(config, grid):
+            from volxel_tpu.render.sampling import pack_premul_pyramid
+
+            maj_pyr = pack_premul_pyramid(maj_alpha, "int8")
+        grid = grid._replace(
+            maj_alpha=maj_alpha, maj_mxu=maj_mxu, maj_pyr=maj_pyr
+        )
     if (
         _mxu_on(config)
         and not config.debug_hits

@@ -60,6 +60,10 @@ class DeviceGrid(NamedTuple):
     # as a one-hot matmul on the MXU instead of XLA's serialized scalar
     # gather. Values bit-equal to maj_alpha's by construction.
     maj_mxu: jax.Array | None = None  # (R, 512) bfloat16
+    # int8 packing of the same compact premul pyramid for the
+    # VMEM-resident in-kernel march (render.pyrmarch): present when
+    # RenderConfig.pyr_march engages. Values bit-equal to maj_alpha's.
+    maj_pyr: jax.Array | None = None  # (R, 512) int8
     # MXU-gather packing of the transfer LUT (K*4 floats) — the decode
     # and raymarch LUT fetches run on the MXU when present.
     lut_mxu: jax.Array | None = None
@@ -492,16 +496,20 @@ def _compact_pyramid_dims(shape):
     return dims, offsets
 
 
-def pack_premul_pyramid(maj_alpha: jax.Array) -> jax.Array:
+def pack_premul_pyramid(
+    maj_alpha: jax.Array, dtype: str | None = None
+) -> jax.Array:
     """Stacked (4, bz, by, bx) premul pyramid -> MXU-gather byte planes
     of the compact level-major flattening (values bit-equal: slicing a
-    nearest-upsampled level recovers the pooled level exactly)."""
+    nearest-upsampled level recovers the pooled level exactly). dtype
+    "int8" forces the integer packing (render.pyrmarch's in-kernel
+    march); None resolves the backend-preferred packing."""
     from volxel_tpu.render.mxu_gather import pack_gather_table
 
     levels = [
         maj_alpha[m, :: 1 << m, :: 1 << m, :: 1 << m].reshape(-1) for m in range(4)
     ]
-    return pack_gather_table(jnp.concatenate(levels))
+    return pack_gather_table(jnp.concatenate(levels), dtype)
 
 
 def _sel4(m, vals):
